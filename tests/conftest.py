@@ -1,0 +1,20 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Multi-chip sharding (data-parallel all-gather loss, pjit train step) is
+validated on the host backend; real-TPU benchmarking lives in ``bench.py``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
