@@ -1,0 +1,16 @@
+from .configs import CLIPConfig, MODEL_CONFIGS, TextConfig, VisionConfig, resolve_model_name
+from .clip import CLIPModel, init_clip_params
+from .head import ClassificationHead
+from . import convert
+
+__all__ = [
+    "CLIPConfig",
+    "TextConfig",
+    "VisionConfig",
+    "MODEL_CONFIGS",
+    "resolve_model_name",
+    "CLIPModel",
+    "init_clip_params",
+    "ClassificationHead",
+    "convert",
+]

@@ -1,0 +1,84 @@
+"""Two-tower CLIP model.
+
+Joint behavior mirrors `/root/reference/clip/model.py:247-378`: both towers
+embed into a shared space, features are L2-normalized, and the learned
+``logit_scale`` is returned exponentiated.  The torch ``forward(image=None)``
+/ ``forward(text=None)`` single-tower branches become explicit
+``encode_image`` / ``encode_text`` methods.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flyp_tpu.models.configs import CLIPConfig
+from flyp_tpu.models.text import TextTransformer
+from flyp_tpu.models.vit import VisionTransformer
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+    # Norm in float32 for stability with bf16 features.
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=axis, keepdims=True) + eps)
+    return (x32 / norm).astype(x.dtype)
+
+
+class CLIPModel(nn.Module):
+    config: CLIPConfig
+    compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        if self.config.vision.is_vit:
+            self.visual = VisionTransformer(self.config.vision, self.config.embed_dim, remat=self.remat)
+        else:
+            from flyp_tpu.models.resnet import ModifiedResNet
+
+            self.visual = ModifiedResNet(self.config.vision, self.config.embed_dim)
+        self.text = TextTransformer(
+            self.config.text, self.config.embed_dim, remat=self.remat, compute_dtype=self.compute_dtype
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key: jnp.asarray(self.config.logit_scale_init, jnp.float32),
+        )
+
+    def encode_image(self, images: jax.Array, normalize: bool = False) -> jax.Array:
+        feats = self.visual(images.astype(self.compute_dtype))
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_text(self, tokens: jax.Array, normalize: bool = False) -> jax.Array:
+        feats = self.text(tokens)
+        return l2_normalize(feats) if normalize else feats
+
+    def __call__(
+        self, images: Optional[jax.Array], tokens: Optional[jax.Array]
+    ) -> Any:
+        """Dual-tower forward: L2-normalized features + exp(logit_scale).
+
+        With one input None, returns the other tower's *unnormalized*
+        features, matching `clip/model.py:363-369`.
+        """
+        if images is None:
+            return self.encode_text(tokens)
+        if tokens is None:
+            return self.encode_image(images)
+        image_features = self.encode_image(images, normalize=True)
+        text_features = self.encode_text(tokens, normalize=True)
+        return image_features, text_features, jnp.exp(self.logit_scale)
+
+
+def init_clip_params(
+    model: CLIPModel, rng: jax.Array | int = 0, image_batch: int = 1
+) -> dict:
+    """Initialize a parameter pytree with CLIP's published init distribution."""
+    if isinstance(rng, int):
+        rng = jax.random.key(rng)
+    cfg = model.config
+    images = jnp.zeros((image_batch, cfg.vision.image_size, cfg.vision.image_size, 3), model.compute_dtype)
+    tokens = jnp.zeros((image_batch, cfg.text.context_length), jnp.int32)
+    return model.init(rng, images, tokens)["params"]

@@ -1,0 +1,192 @@
+"""Checkpoint conversion: torch CLIP state dicts -> flyp_tpu param pytrees.
+
+Understands the key layout shared by OpenAI CLIP (`/root/reference/clip/
+model.py:405-443` sniffs shapes from it) and open_clip checkpoints.  Works on
+dicts of numpy arrays or torch tensors; torch is only needed to *read* ``.pt``
+files, never at train time.
+
+Layout changes performed:
+  * torch Linear ``[out, in]`` kernels -> ``[in, out]``
+  * torch Conv ``[out, in, kh, kw]`` -> HWIO ``[kh, kw, in, out]``
+  * fused attention ``in_proj_weight [3D, D]`` -> ``qkv_kernel [D, 3D]``
+  * LayerNorm ``weight``/``bias`` -> ``scale``/``bias`` (float32)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from flyp_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a ``.pt`` checkpoint (JIT archive or plain state dict) to numpy."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        state = model.state_dict()
+    except RuntimeError:
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = {k[len("module.") :] if k.startswith("module.") else k: v for k, v in state["state_dict"].items()}
+    return {k: _np(v) for k, v in state.items() if hasattr(v, "shape") or isinstance(v, (list, tuple))}
+
+
+def sniff_config(state: Dict[str, Any]) -> CLIPConfig:
+    """Infer the architecture from state-dict shapes (build_model parity)."""
+    state = {k: _np(v) for k, v in state.items() if k not in ("input_resolution", "context_length", "vocab_size")}
+    is_vit = "visual.proj" in state
+
+    if is_vit:
+        vision_width = state["visual.conv1.weight"].shape[0]
+        vision_layers = len([k for k in state if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
+        patch = state["visual.conv1.weight"].shape[-1]
+        grid = round((state["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        vision = VisionConfig(
+            image_size=patch * grid,
+            width=vision_width,
+            patch_size=patch,
+            layers=vision_layers,
+            heads=vision_width // 64,
+        )
+    else:
+        blocks = tuple(
+            len({k.split(".")[2] for k in state if k.startswith(f"visual.layer{b}")}) for b in (1, 2, 3, 4)
+        )
+        vision_width = state["visual.layer1.0.conv1.weight"].shape[0]
+        out_grid = round((state["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        vision = VisionConfig(
+            image_size=out_grid * 32,
+            width=vision_width,
+            patch_size=None,
+            layers=0,
+            heads=vision_width * 32 // 64,
+            resnet_layers=blocks,
+        )
+
+    embed_dim = state["text_projection"].shape[1]
+    text = TextConfig(
+        context_length=state["positional_embedding"].shape[0],
+        vocab_size=state["token_embedding.weight"].shape[0],
+        width=state["ln_final.weight"].shape[0],
+        heads=state["ln_final.weight"].shape[0] // 64,
+        layers=len({k.split(".")[2] for k in state if k.startswith("transformer.resblocks")}),
+    )
+    return CLIPConfig(embed_dim=embed_dim, vision=vision, text=text)
+
+
+def _convert_block(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    return {
+        "ln_1": {"scale": state[f"{prefix}.ln_1.weight"], "bias": state[f"{prefix}.ln_1.bias"]},
+        "ln_2": {"scale": state[f"{prefix}.ln_2.weight"], "bias": state[f"{prefix}.ln_2.bias"]},
+        "attn": {
+            "qkv_kernel": state[f"{prefix}.attn.in_proj_weight"].T,
+            "qkv_bias": state[f"{prefix}.attn.in_proj_bias"],
+            "out_kernel": state[f"{prefix}.attn.out_proj.weight"].T,
+            "out_bias": state[f"{prefix}.attn.out_proj.bias"],
+        },
+        "mlp": {
+            "fc_kernel": state[f"{prefix}.mlp.c_fc.weight"].T,
+            "fc_bias": state[f"{prefix}.mlp.c_fc.bias"],
+            "proj_kernel": state[f"{prefix}.mlp.c_proj.weight"].T,
+            "proj_bias": state[f"{prefix}.mlp.c_proj.bias"],
+        },
+    }
+
+
+def _convert_transformer(state: Dict[str, np.ndarray], prefix: str, layers: int) -> Dict[str, Any]:
+    return {f"block_{i}": _convert_block(state, f"{prefix}.resblocks.{i}") for i in range(layers)}
+
+
+def _convert_bn(state: Dict[str, np.ndarray], prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
+    stats = {"mean": state[f"{prefix}.running_mean"], "var": state[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def _convert_resnet(state: Dict[str, np.ndarray], cfg: VisionConfig, embed_dim: int) -> Tuple[Dict, Dict]:
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_w(key):
+        return state[key].transpose(2, 3, 1, 0)
+
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = {"kernel": conv_w(f"visual.conv{i}.weight")}
+        params[f"bn{i}"], stats[f"bn{i}"] = _convert_bn(state, f"visual.bn{i}")
+
+    for stage in range(4):
+        for b in range(cfg.resnet_layers[stage]):
+            tp = f"visual.layer{stage + 1}.{b}"
+            name = f"layer{stage + 1}_{b}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                blk_p[f"conv{i}"] = {"kernel": conv_w(f"{tp}.conv{i}.weight")}
+                blk_p[f"bn{i}"], blk_s[f"bn{i}"] = _convert_bn(state, f"{tp}.bn{i}")
+            if f"{tp}.downsample.0.weight" in state:
+                blk_p["downsample_conv"] = {"kernel": conv_w(f"{tp}.downsample.0.weight")}
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _convert_bn(state, f"{tp}.downsample.1")
+            params[name] = blk_p
+            stats[name] = blk_s
+
+    ap = "visual.attnpool"
+    params["attnpool"] = {
+        "positional_embedding": state[f"{ap}.positional_embedding"],
+        **{
+            proj: {"kernel": state[f"{ap}.{proj}.weight"].T, "bias": state[f"{ap}.{proj}.bias"]}
+            for proj in ("q_proj", "k_proj", "v_proj", "c_proj")
+        },
+    }
+    return params, stats
+
+
+def convert_clip_state_dict(
+    state: Dict[str, Any], config: Optional[CLIPConfig] = None
+) -> Tuple[Dict[str, Any], Optional[Dict[str, Any]], CLIPConfig]:
+    """Convert a torch CLIP state dict to ``(params, batch_stats, config)``.
+
+    ``batch_stats`` is None for ViT towers (no BatchNorm).
+    """
+    state = {k: _np(v) for k, v in state.items() if k not in ("input_resolution", "context_length", "vocab_size")}
+    config = config or sniff_config(state)
+
+    if config.vision.is_vit:
+        visual = {
+            "patch_kernel": state["visual.conv1.weight"].transpose(2, 3, 1, 0),
+            "class_embedding": state["visual.class_embedding"],
+            "positional_embedding": state["visual.positional_embedding"],
+            "ln_pre": {"scale": state["visual.ln_pre.weight"], "bias": state["visual.ln_pre.bias"]},
+            "ln_post": {"scale": state["visual.ln_post.weight"], "bias": state["visual.ln_post.bias"]},
+            "proj": state["visual.proj"],
+            "transformer": _convert_transformer(state, "visual.transformer", config.vision.layers),
+        }
+        batch_stats = None
+    else:
+        visual, visual_stats = _convert_resnet(state, config.vision, config.embed_dim)
+        batch_stats = {"visual": visual_stats}
+
+    text = {
+        "token_embedding": state["token_embedding.weight"],
+        "positional_embedding": state["positional_embedding"],
+        "ln_final": {"scale": state["ln_final.weight"], "bias": state["ln_final.bias"]},
+        "text_projection": state["text_projection"],
+        "transformer": _convert_transformer(state, "transformer", config.text.layers),
+    }
+
+    params = {
+        "visual": visual,
+        "text": text,
+        "logit_scale": state["logit_scale"].reshape(()),
+    }
+    return params, batch_stats, config

@@ -1,0 +1,139 @@
+"""Shared transformer layers with TPU-friendly dtype policy.
+
+Numerics follow the reference CLIP blocks (`/root/reference/clip/model.py:
+155-201`): LayerNorm runs in float32 regardless of the activation dtype (the
+"fp32 island"), the MLP uses QuickGELU, and attention uses a fused QKV
+projection.  Matmuls run in the activation dtype (bfloat16 on TPU) so they
+land on the MXU; accumulation is float32 via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flyp_tpu.ops.attention import multi_head_attention
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — CLIP's GELU approximation (`clip/model.py:164`)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm computed in float32, result cast back to the input dtype.
+
+    Mirrors the fp16-safe LayerNorm subclass at `clip/model.py:155-161`;
+    on TPU the same trick keeps bf16 activations stable.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(orig_dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with a single fused QKV matmul.
+
+    One ``[B, L, D] @ [D, 3D]`` projection keeps the MXU busy with a large
+    matmul instead of three small ones; layout matches torch's
+    ``nn.MultiheadAttention`` in_proj so checkpoint conversion is a reshape.
+    """
+
+    width: int
+    heads: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, L, D = x.shape
+        head_dim = self.width // self.heads
+
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.normal(self.width ** -0.5), (D, 3 * D), jnp.float32
+        )
+        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * D,), jnp.float32)
+        out_kernel = self.param(
+            "out_kernel", nn.initializers.normal(self.width ** -0.5), (D, D), jnp.float32
+        )
+        out_bias = self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32)
+
+        qkv = jnp.einsum(
+            "bld,de->ble", x, qkv_kernel.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype) + qkv_bias.astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, self.heads, head_dim)
+        k = k.reshape(B, L, self.heads, head_dim)
+        v = v.reshape(B, L, self.heads, head_dim)
+
+        o = multi_head_attention(q, k, v, causal=self.causal)
+
+        o = o.reshape(B, L, D)
+        return jnp.einsum(
+            "bld,de->ble", o, out_kernel.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype) + out_bias.astype(x.dtype)
+
+
+class MLP(nn.Module):
+    """c_fc -> QuickGELU -> c_proj (4x expansion), `clip/model.py:175-179`."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = 4 * self.width
+        fc_kernel = self.param("fc_kernel", nn.initializers.normal((2 * self.width) ** -0.5), (self.width, hidden), jnp.float32)
+        fc_bias = self.param("fc_bias", nn.initializers.zeros, (hidden,), jnp.float32)
+        proj_kernel = self.param("proj_kernel", nn.initializers.normal(self.width ** -0.5), (hidden, self.width), jnp.float32)
+        proj_bias = self.param("proj_bias", nn.initializers.zeros, (self.width,), jnp.float32)
+
+        h = jnp.einsum("bld,dh->blh", x, fc_kernel.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+        h = quick_gelu(h + fc_bias.astype(x.dtype))
+        out = jnp.einsum("blh,hd->bld", h, proj_kernel.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+        return out + proj_bias.astype(x.dtype)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-LN transformer block (`clip/model.py:169-190`)."""
+
+    width: int
+    heads: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x + MultiHeadAttention(self.width, self.heads, self.causal, name="attn")(
+            LayerNormFp32(name="ln_1")(x)
+        )
+        x = x + MLP(self.width, name="mlp")(LayerNormFp32(name="ln_2")(x))
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of residual blocks with optional per-block rematerialization."""
+
+    width: int
+    layers: int
+    heads: int
+    causal: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+        for i in range(self.layers):
+            x = block_cls(self.width, self.heads, self.causal, name=f"block_{i}")(x)
+        return x

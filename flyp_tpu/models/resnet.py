@@ -1,0 +1,106 @@
+"""ModifiedResNet image tower (RN50 family).
+
+Follows `/root/reference/clip/model.py:12-152`: 3-conv stem with avg-pool,
+anti-aliased strided bottlenecks (avg-pool before the strided conv), and a
+QKV attention pool instead of global average pooling.  NHWC layout.
+
+BatchNorm carries running statistics in the ``batch_stats`` collection; pass
+``train=True`` (with ``mutable=['batch_stats']``) to update them during
+fine-tuning, matching torch train-mode BN.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flyp_tpu.models.configs import VisionConfig
+from flyp_tpu.ops.attention import multi_head_attention
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        inplanes = x.shape[-1]
+        out_planes = self.planes * self.expansion
+
+        def conv(n, features, kernel, name):
+            return nn.Conv(features, (kernel, kernel), padding="SAME" if kernel > 1 else "VALID", use_bias=False, name=name)(n)
+
+        def bn(n, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)(n)
+
+        out = nn.relu(bn(conv(x, self.planes, 1, "conv1"), "bn1"))
+        out = nn.relu(bn(conv(out, self.planes, 3, "conv2"), "bn2"))
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride, self.stride), strides=(self.stride, self.stride))
+        out = bn(conv(out, out_planes, 1, "conv3"), "bn3")
+
+        identity = x
+        if self.stride > 1 or inplanes != out_planes:
+            identity = nn.avg_pool(x, (self.stride, self.stride), strides=(self.stride, self.stride)) if self.stride > 1 else x
+            identity = nn.Conv(out_planes, (1, 1), use_bias=False, name="downsample_conv")(identity)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="downsample_bn")(identity)
+
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    embed_dim: int
+    heads: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: [B, H, W, C] -> [B, output_dim] via query-at-mean QKV attention."""
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)  # [B, HW+1, C]
+
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(C ** -0.5), (H * W + 1, C), jnp.float32
+        )
+        x = x + pos.astype(x.dtype)
+
+        def dense(n, features, name):
+            return nn.Dense(features, name=name)(n)
+
+        q = dense(x, self.embed_dim, "q_proj").reshape(B, -1, self.heads, self.embed_dim // self.heads)
+        k = dense(x, self.embed_dim, "k_proj").reshape(B, -1, self.heads, self.embed_dim // self.heads)
+        v = dense(x, self.embed_dim, "v_proj").reshape(B, -1, self.heads, self.embed_dim // self.heads)
+        o = multi_head_attention(q, k, v, causal=False)
+        o = o.reshape(B, -1, self.embed_dim)
+        o = dense(o, self.output_dim, "c_proj")
+        return o[:, 0]  # the mean-token query's output (`clip/model.py:92`)
+
+
+class ModifiedResNet(nn.Module):
+    config: VisionConfig
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        width = cfg.width
+
+        def bn(n, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)(n)
+
+        # 3-conv stem.
+        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, name="conv1")(x), "bn1"))
+        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x), "bn2"))
+        x = nn.relu(bn(nn.Conv(width, (3, 3), padding=1, use_bias=False, name="conv3")(x), "bn3"))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        for stage, (blocks, planes, stride) in enumerate(
+            zip(cfg.resnet_layers, (width, width * 2, width * 4, width * 8), (1, 2, 2, 2))
+        ):
+            for b in range(blocks):
+                x = Bottleneck(planes, stride if b == 0 else 1, name=f"layer{stage + 1}_{b}")(x, train=train)
+
+        return AttentionPool2d(width * 32, cfg.heads, self.embed_dim, name="attnpool")(x)

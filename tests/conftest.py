@@ -6,10 +6,18 @@ validated on the host backend; real-TPU benchmarking lives in ``bench.py``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's site hook pins jax_platforms to the TPU tunnel; tests run
+# on the virtual CPU mesh, so force it back before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare fp32 activations against torch; keep fp32 matmuls fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

@@ -1,0 +1,107 @@
+"""Numerics parity: flyp_tpu CLIP vs the reference torch implementation.
+
+A randomly-initialized reference model's state dict is converted through
+``flyp_tpu.models.convert`` and both sides are evaluated on identical inputs.
+This is the "per-module activation diffing" gate from SURVEY.md §7 without
+needing pretrained checkpoints (no network egress in this environment).
+"""
+
+import numpy as np
+import pytest
+
+from tests import ref_loader
+
+torch = pytest.importorskip("torch")
+
+if not ref_loader.available():  # pragma: no cover
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+
+import jax.numpy as jnp
+
+from flyp_tpu.models import CLIPModel, convert
+from flyp_tpu.models.configs import CLIPConfig
+
+ref_model = ref_loader.load_ref_module("clip/model.py", "ref_clip_model")
+
+
+def make_pair(vision_layers, vision_width, patch, resolution=32, embed=64, ctx=16, vocab=512, twidth=128, theads=2, tlayers=2):
+    # twidth/theads must satisfy heads == width//64: sniff_config derives the
+    # head count that way, exactly as `build_model` does (`clip/model.py:427`).
+    torch.manual_seed(0)
+    ref = ref_model.CLIP(
+        embed_dim=embed,
+        image_resolution=resolution,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
+        vision_patch_size=patch,
+        context_length=ctx,
+        vocab_size=vocab,
+        transformer_width=twidth,
+        transformer_heads=theads,
+        transformer_layers=tlayers,
+    ).eval().float()
+    state = {k: v for k, v in ref.state_dict().items()}
+    params, batch_stats, cfg = convert.convert_clip_state_dict(state)
+    ours = CLIPModel(cfg)
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    return ref, ours, variables, cfg
+
+
+def rand_inputs(cfg: CLIPConfig, batch=3, seed=1):
+    rng = np.random.default_rng(seed)
+    imgs = rng.standard_normal((batch, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    # Tokens: SOT-ish, a few ids, then the max id acting as EOT, zero padding.
+    toks = np.zeros((batch, cfg.text.context_length), dtype=np.int64)
+    for i in range(batch):
+        n = int(rng.integers(3, cfg.text.context_length - 1))
+        toks[i, :n] = rng.integers(1, cfg.text.vocab_size - 1, n)
+        toks[i, n] = cfg.text.vocab_size - 1  # highest id = pooling position
+    return imgs, toks
+
+
+@pytest.mark.parametrize("vision", [("vit", 2, 64, 16)])
+def test_encode_parity_vit(vision):
+    _, layers, width, patch = vision
+    ref, ours, variables, cfg = make_pair(layers, width, patch)
+    imgs, toks = rand_inputs(cfg)
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(imgs)).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(toks)).numpy()
+        ref_if, ref_tf, ref_scale = ref(torch.from_numpy(imgs), torch.from_numpy(toks))
+        ref_if, ref_tf, ref_scale = ref_if.numpy(), ref_tf.numpy(), float(ref_scale)
+
+    imgs_nhwc = jnp.asarray(imgs.transpose(0, 2, 3, 1))
+    toks_j = jnp.asarray(toks.astype(np.int32))
+    our_img = ours.apply(variables, imgs_nhwc, method="encode_image")
+    our_txt = ours.apply(variables, toks_j, method="encode_text")
+    our_if, our_tf, our_scale = ours.apply(variables, imgs_nhwc, toks_j)
+
+    np.testing.assert_allclose(np.asarray(our_img), ref_img, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(our_txt), ref_txt, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(our_if), ref_if, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(our_tf), ref_tf, atol=2e-4, rtol=2e-4)
+    assert abs(float(our_scale) - ref_scale) < 1e-3
+
+
+def test_encode_parity_resnet():
+    ref, ours, variables, cfg = make_pair(vision_layers=(1, 1, 1, 1), vision_width=16, patch=None)
+    imgs, toks = rand_inputs(cfg)
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(imgs)).numpy()
+
+    our_img = ours.apply(variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)), method="encode_image")
+    np.testing.assert_allclose(np.asarray(our_img), ref_img, atol=3e-4, rtol=3e-4)
+
+
+def test_sniff_config_matches_reference_shapes():
+    ref, _, _, cfg = make_pair(2, 64, 16)
+    assert cfg.vision.layers == 2
+    assert cfg.vision.width == 64
+    assert cfg.vision.patch_size == 16
+    assert cfg.vision.image_size == 32
+    assert cfg.text.layers == 2
+    assert cfg.embed_dim == 64
