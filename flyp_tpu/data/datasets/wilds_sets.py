@@ -1,0 +1,188 @@
+"""WILDS iWildCam / FMoW suites without the torch-centric `wilds` package.
+
+The reference delegates split selection and metric computation to
+``wilds.get_dataset(...)`` (`/root/reference/src/datasets/iwildcam.py`,
+`fmow.py`); this module reads the same on-disk WILDS releases directly:
+
+* iWildCam v2.0: ``<root>/iwildcam_v2.0/`` with ``metadata.csv`` (columns
+  ``split``, ``filename``, ``y``), images under ``train/``, and the
+  MegaDetector results JSON for the non-empty filter (threshold 0.95,
+  `iwildcam.py:12-22`).  Headline metric: macro F1 over classes present in
+  the labels ("F1-macro_all", the key the progress-validation beam search
+  selects on, `flyp_loss_progress.py`).
+* FMoW v1.1: ``<root>/fmow_v1.1/`` with ``rgb_metadata.csv`` (columns
+  ``split``, ``region``, ``category``), images ``images/rgb_img_{i}.png``.
+  Headline metric: worst-region accuracy ("acc_worst_region").
+
+Class names come from the packaged metadata (labels.csv / the 62-name FMoW
+list), identical to the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from flyp_tpu.data.classnames import fmow_classnames
+from flyp_tpu.data.datasets.base import VisionDataset
+from flyp_tpu.evaluation.metrics import macro_f1
+
+_IWILDCAM_LABELS = pathlib.Path(__file__).parent.parent / "metadata" / "iwildcam" / "labels.csv"
+
+
+class _WildsImageDataset:
+    def __init__(self, paths: List[str], labels: np.ndarray, metadata: Optional[np.ndarray], transform):
+        self.paths = paths
+        self.labels = labels
+        self.metadata = metadata
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, idx: int, rng: np.random.Generator) -> dict:
+        sample = {
+            "image": self.transform(Image.open(self.paths[idx]), rng).astype(np.float32),
+            "label": np.int32(self.labels[idx]),
+            "path": self.paths[idx],
+        }
+        if self.metadata is not None:
+            sample["metadata"] = self.metadata[idx]
+        return sample
+
+
+class IWildCam(VisionDataset):
+    subset = "train"
+    remove_non_empty = False
+
+    def __init__(self, preprocess=None, location=os.path.expanduser("~/data"), remove_non_empty=False, **kwargs):
+        self.remove_non_empty = remove_non_empty or self.remove_non_empty
+        kwargs.setdefault("subset", None)
+        self._subset_override = kwargs.pop("subset")
+        super().__init__(preprocess, location=location, **kwargs)
+
+    def _resolve_classnames(self, classnames):
+        df = pd.read_csv(_IWILDCAM_LABELS)
+        df = df[df["y"] < 99999]
+        self.classnames = [s.lower() for s in df["english"].tolist()]
+
+    def _data_dir(self) -> pathlib.Path:
+        return pathlib.Path(self.location) / "iwildcam_v2.0"
+
+    def _load_split(self, split: str):
+        meta = pd.read_csv(self._data_dir() / "metadata.csv")
+        mask = meta["split"] == split
+        if self.remove_non_empty:
+            with open(self._data_dir() / "iwildcam2020_megadetector_results.json") as f:
+                md = json.load(f)
+            conf = {x["id"]: x["max_detection_conf"] for x in md["images"]}
+            mask = mask & meta["image_id"].map(lambda i: conf.get(i, 0.0) >= 0.95)
+        sub = meta[mask]
+        paths = [str(self._data_dir() / "train" / fn) for fn in sub["filename"]]
+        return paths, sub["y"].to_numpy(np.int64)
+
+    def populate_train(self):
+        paths, labels = self._load_split("train")
+        self.train_dataset = _WildsImageDataset(paths, labels, None, self.train_preprocess)
+        self.train_loader = self.make_train_loader(self.train_dataset)
+
+    def get_test_dataset(self):
+        split = self._subset_override or self.subset
+        paths, labels = self._load_split(split)
+        return _WildsImageDataset(paths, labels, None, self.preprocess)
+
+    def post_loop_metrics(self, labels, logits, metadata, cfg):
+        preds = np.asarray(logits).argmax(axis=1)
+        labels = np.asarray(labels)
+        return {
+            "acc_avg": float((preds == labels).mean()),
+            # WILDS computes macro F1 over the label set present in y_true.
+            "F1-macro_all": macro_f1(preds, labels, num_classes=None),
+        }
+
+
+class IWildCamIDVal(IWildCam):
+    subset = "id_val"
+
+
+class IWildCamID(IWildCam):
+    subset = "id_test"
+
+
+class IWildCamOOD(IWildCam):
+    subset = "test"
+
+
+class IWildCamNonEmpty(IWildCam):
+    subset = "train"
+    remove_non_empty = True
+
+
+class IWildCamIDNonEmpty(IWildCam):
+    subset = "id_test"
+    remove_non_empty = True
+
+
+class IWildCamOODNonEmpty(IWildCam):
+    subset = "test"
+    remove_non_empty = True
+
+
+class FMOW(VisionDataset):
+    test_subset = "test"
+
+    def _resolve_classnames(self, classnames):
+        self.classnames = list(fmow_classnames)
+
+    def _data_dir(self) -> pathlib.Path:
+        return pathlib.Path(self.location) / "fmow_v1.1"
+
+    def _load_split(self, split: str):
+        meta = pd.read_csv(self._data_dir() / "rgb_metadata.csv")
+        meta = meta.reset_index().rename(columns={"index": "img_idx"})
+        sub = meta[meta["split"] == split]
+        paths = [str(self._data_dir() / "images" / f"rgb_img_{i}.png") for i in sub["img_idx"]]
+        labels = np.asarray([self.classnames.index(c) for c in sub["category"]], dtype=np.int64)
+        regions = sub["region"].to_numpy()
+        return paths, labels, regions
+
+    def populate_train(self):
+        paths, labels, regions = self._load_split("train")
+        self.train_dataset = _WildsImageDataset(paths, labels, regions, self.train_preprocess)
+        self.train_loader = self.make_train_loader(self.train_dataset)
+
+    def get_test_dataset(self):
+        paths, labels, regions = self._load_split(self.test_subset)
+        return _WildsImageDataset(paths, labels, regions, self.preprocess)
+
+    def post_loop_metrics(self, labels, logits, metadata, cfg):
+        preds = np.asarray(logits).argmax(axis=1)
+        labels = np.asarray(labels)
+        regions = np.asarray(metadata)
+        out = {"acc_avg": float((preds == labels).mean())}
+        region_accs = []
+        for r in np.unique(regions):
+            sel = regions == r
+            acc = float((preds[sel] == labels[sel]).mean())
+            out[f"acc_region:{r}"] = acc
+            region_accs.append(acc)
+        out["acc_worst_region"] = min(region_accs) if region_accs else 0.0
+        return out
+
+
+class FMOWIDVal(FMOW):
+    test_subset = "id_val"
+
+
+class FMOWID(FMOW):
+    test_subset = "id_test"
+
+
+class FMOWOOD(FMOW):
+    test_subset = "test"

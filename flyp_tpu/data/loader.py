@@ -1,0 +1,149 @@
+"""Host-side batched loader with threaded decode and device prefetch.
+
+Replaces torch ``DataLoader`` (worker processes) with a thread pool — PIL
+decode, resize, and numpy normalization all release the GIL, so threads
+saturate host cores without pickling overhead — plus an explicit
+device-prefetch stage that keeps H2D copies ahead of the TPU step
+(`host-overlap prefetch`, BASELINE.json north star).
+
+Determinism: shuffling is seeded per epoch (``seed + epoch``), and each
+sample draws its augmentation RNG from a per-epoch SeedSequence, so a run is
+reproducible regardless of worker count — stronger than the reference, whose
+worker scheduling changes augmentation streams.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(samples: list) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) or hasattr(vals[0], "dtype"):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals  # e.g. file paths
+    return out
+
+
+class DataLoader:
+    """Iterable over batches of collated numpy dicts.
+
+    ``dataset`` must implement ``__len__`` and ``get(idx, rng)`` (or
+    ``__getitem__``).  Call ``set_epoch`` before each epoch to advance the
+    shuffle/augmentation streams.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch_batches: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._epoch_order()
+        n_batches = len(self)
+        ss = np.random.SeedSequence([self.seed, self.epoch])
+        sample_seeds = ss.generate_state(len(order), dtype=np.uint64)
+
+        get = getattr(self.dataset, "get", None)
+
+        def fetch(i: int):
+            idx = int(order[i])
+            if get is not None:
+                return get(idx, np.random.default_rng(sample_seeds[i]))
+            return self.dataset[idx]
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.prefetch_batches * self.batch_size
+            futures: collections.deque = collections.deque()
+            total = n_batches * self.batch_size if self.drop_last else len(order)
+            submitted = 0
+
+            def top_up():
+                nonlocal submitted
+                while submitted < total and len(futures) < window:
+                    futures.append(pool.submit(fetch, submitted))
+                    submitted += 1
+
+            top_up()
+            done = 0
+            while done < total:
+                batch = []
+                take = min(self.batch_size, total - done)
+                for _ in range(take):
+                    batch.append(futures.popleft().result())
+                    top_up()
+                done += take
+                yield _collate(batch)
+
+
+def prefetch_to_device(iterator, mesh=None, size: int = 2):
+    """Move batches to device ahead of consumption.
+
+    With a mesh, the leading axis of each array is sharded over the ``data``
+    axis; non-array entries (paths) pass through host-side.
+    """
+    import jax
+
+    if mesh is not None:
+        from flyp_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+
+    def to_device(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.dtype != object:
+                out[k] = jax.device_put(v, sharding) if mesh is not None else jax.device_put(v)
+            else:
+                out[k] = v
+        return out
+
+    queue: collections.deque = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(to_device(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        nxt = queue.popleft()
+        try:
+            queue.append(to_device(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

@@ -1,0 +1,71 @@
+"""Classifier = CLIP image tower + classification head, compiled once.
+
+The torch side wraps modules (`ImageClassifier`, `/root/reference/src/models/
+modeling.py:78-104`); here the classifier is a fixed-shape jitted program:
+batches are padded to one static shape so the whole eval suite reuses a
+single XLA executable per image size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flyp_tpu.models.clip import CLIPModel
+from flyp_tpu.models.head import ClassificationHead
+
+
+class Classifier:
+    def __init__(
+        self,
+        model: CLIPModel,
+        variables: dict,
+        head: ClassificationHead,
+        batch_size: int = 128,
+        normalize_features: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.head = head
+        self.batch_size = batch_size
+        self.normalize_features = normalize_features
+
+        def logits_fn(variables, head, images):
+            feats = model.apply(variables, images, method="encode_image")
+            if normalize_features:
+                # ImageClassifier_Norm re-normalizes before the head
+                # (`modeling.py:107-134`); the head may normalize again.
+                feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            return head(feats)
+
+        self._logits_fn = jax.jit(logits_fn)
+
+        def feats_fn(variables, images):
+            return model.apply(variables, images, method="encode_image")
+
+        self._feats_fn = jax.jit(feats_fn)
+
+    def replace_head(self, head: ClassificationHead) -> "Classifier":
+        return Classifier(self.model, self.variables, head, self.batch_size, self.normalize_features)
+
+    def _pad(self, images: np.ndarray):
+        n = images.shape[0]
+        if n == self.batch_size:
+            return images, n
+        pad = self.batch_size - n
+        images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0)
+        return images, n
+
+    def predict_logits(self, images: np.ndarray) -> np.ndarray:
+        """[n<=batch_size, H, W, C] host array -> [n, num_classes] logits."""
+        padded, n = self._pad(np.asarray(images))
+        out = self._logits_fn(self.variables, self.head, jnp.asarray(padded))
+        return np.asarray(out)[:n]
+
+    def features(self, images: np.ndarray) -> np.ndarray:
+        padded, n = self._pad(np.asarray(images))
+        out = self._feats_fn(self.variables, jnp.asarray(padded))
+        return np.asarray(out)[:n]

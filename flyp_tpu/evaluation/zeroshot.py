@@ -1,0 +1,68 @@
+"""Zero-shot classification head built from the (fine-tuned) text tower.
+
+Math follows `/root/reference/src/models/zeroshot.py:56-81` exactly: for each
+classname, every template prompt is tokenized and encoded, each embedding is
+L2-normalized, the per-class mean is re-normalized, the stacked matrix is
+scaled by ``exp(logit_scale)``, and the head normalizes its input features.
+
+TPU-wise the loop is restructured: all |classes| x |templates| prompts are
+tokenized up front and encoded in fixed-size batches under one jitted
+program — the per-epoch head rebuild (`flyp_loss.py:601`) then costs a
+handful of text-tower launches instead of |classes| Python iterations.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flyp_tpu.models.clip import CLIPModel
+from flyp_tpu.models.head import ClassificationHead
+from flyp_tpu.tokenizer import tokenize
+
+
+def class_embeddings(
+    model: CLIPModel,
+    variables: dict,
+    classnames: Sequence[str],
+    template: Sequence,
+    encode_batch: int = 1024,
+) -> np.ndarray:
+    """[num_classes, embed_dim] normalized mean-of-templates embeddings."""
+    prompts = [t(name) for name in classnames for t in template]
+    tokens = tokenize(prompts)  # [C*T, ctx]
+
+    n = tokens.shape[0]
+    encode_batch = min(encode_batch, max(8, n))
+    pad = (-n) % encode_batch
+    if pad:
+        tokens = np.concatenate([tokens, np.tile(tokens[:1], (pad, 1))], axis=0)
+
+    encode = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
+    chunks = []
+    for start in range(0, tokens.shape[0], encode_batch):
+        chunks.append(np.asarray(encode(variables, jnp.asarray(tokens[start : start + encode_batch]))))
+    emb = np.concatenate(chunks, axis=0)[:n].astype(np.float32)
+
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = emb.reshape(len(classnames), len(template), -1).mean(axis=1)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+def get_zeroshot_classifier(
+    model: CLIPModel,
+    variables: dict,
+    classnames: Sequence[str],
+    template: Sequence,
+    logit_scale: Optional[jax.Array] = None,
+    encode_batch: int = 1024,
+) -> ClassificationHead:
+    emb = class_embeddings(model, variables, classnames, template, encode_batch)
+    scale = np.exp(
+        np.asarray(logit_scale if logit_scale is not None else variables["params"]["logit_scale"], np.float32)
+    )
+    return ClassificationHead.create(jnp.asarray(emb * scale), normalize=True)

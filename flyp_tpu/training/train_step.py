@@ -1,0 +1,111 @@
+"""The jitted FLYP train step: forward both towers, global-batch contrastive
+loss, AdamW update — one XLA program over the device mesh.
+
+Sharding contract (GSPMD path, SURVEY.md §2.7): the batch arrays are sharded
+over the mesh's ``data`` axis, params/opt-state replicated.  The loss is
+written as global math, so XLA inserts the feature all-gather over ICI and
+gradients flow to both towers on every shard — the train step *is* the
+distributed program; there is no separate "distributed mode".
+
+Matches the reference's update semantics (`/root/reference/src/models/
+flyp_loss.py:493-511`): per-item loss -> mean -> backward -> AdamW step ->
+scheduler step (folded into the injected schedule).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from flyp_tpu.models.clip import CLIPModel
+from flyp_tpu.ops.losses import clip_loss
+from flyp_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
+from flyp_tpu.training.train_state import TrainState
+
+
+def make_train_step(
+    model: CLIPModel,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    *,
+    ignore: bool = False,
+    google_sup_loss: bool = False,
+    use_ground_labels: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the compiled train step.
+
+    Returns ``step_fn(state, images, tokens[, ground_labels]) ->
+    (state, metrics)`` where metrics carries the mean loss, the per-item
+    losses (curriculum clustering consumes them, `flyp_loss.py:502-506`) and
+    the current learning rate.
+    """
+
+    def train_step(state: TrainState, images, tokens, ground_labels=None):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                (img_f, txt_f, scale), updated = model.apply(
+                    variables, images, tokens, mutable=["batch_stats"]
+                )
+                new_stats = updated["batch_stats"]
+            else:
+                img_f, txt_f, scale = model.apply(variables, images, tokens)
+                new_stats = None
+            per_item = clip_loss(
+                img_f,
+                txt_f,
+                scale,
+                ground_labels if use_ground_labels else None,
+                ignore=ignore,
+                google_sup_loss=google_sup_loss,
+            )
+            loss = jnp.mean(per_item)
+            return loss, (per_item, new_stats)
+
+        (loss, (per_item, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=new_stats,
+        )
+        metrics = {
+            "loss": loss,
+            "per_item_loss": per_item,
+            "learning_rate": opt_state.hyperparams["learning_rate"],
+        }
+        return new_state, metrics
+
+    if not use_ground_labels:
+        # Fix the arity so jit sharding specs line up with the actual args.
+        unlabelled = lambda state, images, tokens: train_step(state, images, tokens, None)
+        if mesh is None:
+            return jax.jit(unlabelled, donate_argnums=(0,) if donate else ())
+        repl = replicated_sharding(mesh)
+        batch = batch_sharding(mesh)
+        return jax.jit(
+            unlabelled,
+            in_shardings=(repl, batch, batch),
+            out_shardings=(repl, {"loss": repl, "per_item_loss": batch, "learning_rate": repl}),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    batch = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch, batch, batch),
+        out_shardings=(repl, {"loss": repl, "per_item_loss": repl, "learning_rate": repl}),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -1,0 +1,109 @@
+"""Data pipeline tests over a synthetic image+TSV corpus."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flyp_tpu.data import (
+    CLIP_MEAN,
+    CLIP_STD,
+    CsvContrastiveDataset,
+    DataLoader,
+    eval_transform,
+    train_transform,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    rows = ["title\tfilepath\tlabel\tguidance\timg_id"]
+    for i in range(24):
+        arr = rng.integers(0, 255, (40 + i, 48, 3), dtype=np.uint8)
+        path = os.path.join(root, f"img_{i}.png")
+        Image.fromarray(arr).save(path)
+        guidance = [2, 5, 100][i % 3]
+        rows.append(f"a photo of thing {i}\t{path}\t{i % 4}\t{guidance}\t{i}")
+    csv_path = os.path.join(root, "train.tsv")
+    with open(csv_path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return str(csv_path)
+
+
+def test_eval_transform_geometry():
+    img = Image.fromarray(np.zeros((100, 60, 3), dtype=np.uint8))
+    out = eval_transform(32)(img)
+    assert out.shape == (32, 32, 3)
+    # Black image maps to -mean/std exactly.
+    np.testing.assert_allclose(out[0, 0], -CLIP_MEAN / CLIP_STD, rtol=1e-6)
+
+
+def test_train_transform_shape_and_determinism():
+    img = Image.fromarray(np.random.default_rng(1).integers(0, 255, (64, 80, 3), dtype=np.uint8))
+    t = train_transform(32)
+    a = t(img, np.random.default_rng(7))
+    b = t(img, np.random.default_rng(7))
+    c = t(img, np.random.default_rng(8))
+    assert a.shape == (32, 32, 3)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_csv_dataset_basic(corpus):
+    ds = CsvContrastiveDataset(corpus, eval_transform(32), label_key="label", return_guidance=True, return_img_id=True)
+    assert len(ds) == 24
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["image"].shape == (32, 32, 3)
+    assert s["tokens"].shape == (77,)
+    assert s["tokens"][0] == 49406
+    assert s["label"] == 0 and s["guidance"] == 2 and s["img_id"] == 0
+
+
+def test_csv_dataset_guidance_filter(corpus):
+    ds = CsvContrastiveDataset(corpus, eval_transform(32), guidance=5, return_guidance=True)
+    assert len(ds) == 8
+    assert all(g == 5 for g in ds.guidance)
+
+
+def test_csv_dataset_datalimit(corpus):
+    ds = CsvContrastiveDataset(corpus, eval_transform(32), guidance=5, datalimit=3)
+    assert len(ds) == 3
+
+
+def test_csv_dataset_ori_proportion(corpus):
+    # guidance-5 rows (8) mixed with guidance-100 rows at 20% of the total.
+    ds = CsvContrastiveDataset(corpus, eval_transform(32), guidance=5, ori_proportion=0.2, return_guidance=True)
+    n_ori = sum(1 for g in ds.guidance if g == 100)
+    assert len(ds) == 10 and n_ori == 2
+
+
+def test_csv_dataset_list_selection(corpus):
+    ds = CsvContrastiveDataset(corpus, eval_transform(32), label_key="label", list_selection=[0, 1])
+    assert all(l in (0, 1) for l in ds.labels)
+
+
+def test_loader_batches_and_determinism(corpus):
+    ds = CsvContrastiveDataset(corpus, eval_transform(32), label_key="label")
+    dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=4, seed=3)
+    dl.set_epoch(0)
+    batches_a = [b["label"].copy() for b in dl]
+    dl.set_epoch(0)
+    batches_b = [b["label"].copy() for b in dl]
+    dl.set_epoch(1)
+    batches_c = [b["label"].copy() for b in dl]
+    assert len(batches_a) == 3
+    assert batches_a[0].shape == (8,)
+    np.testing.assert_array_equal(np.concatenate(batches_a), np.concatenate(batches_b))
+    assert not np.array_equal(np.concatenate(batches_a), np.concatenate(batches_c))
+
+
+def test_loader_batch_contents(corpus):
+    ds = CsvContrastiveDataset(corpus, eval_transform(32))
+    dl = DataLoader(ds, batch_size=6, shuffle=False, num_workers=2)
+    batch = next(iter(dl))
+    assert batch["image"].shape == (6, 32, 32, 3)
+    assert batch["tokens"].shape == (6, 77)
+    assert batch["image"].dtype == np.float32

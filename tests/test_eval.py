@@ -1,0 +1,127 @@
+"""Zero-shot head + evaluation harness end-to-end on a synthetic corpus."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from flyp_tpu.evaluation import Classifier, eval_single_dataset, get_zeroshot_classifier
+from flyp_tpu.evaluation.evaluator import evaluate
+from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+from flyp_tpu.models.head import ClassificationHead
+from flyp_tpu.templates import get_template
+from flyp_tpu.data.datasets.base import ImageFolderDataset, VisionDataset
+
+
+def tiny_model():
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=64, layers=2, heads=1),
+        text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2),
+    )
+    model = CLIPModel(cfg)
+    params = init_clip_params(model, 0)
+    return model, {"params": params}
+
+
+@pytest.fixture(scope="module")
+def folder_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("folder")
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        for cls in ("cat", "dog", "fish"):
+            d = root / "toyset" / split / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)).save(d / f"{i}.png")
+    return str(root)
+
+
+class ToyDataset(VisionDataset):
+    image_size = 32
+
+    def _resolve_classnames(self, classnames):
+        self.classnames = ["cat", "dog", "fish"]
+
+    def get_test_dataset(self):
+        return ImageFolderDataset.from_root(os.path.join(self.location, "toyset", "test"), self.preprocess)
+
+
+def test_zeroshot_head_math():
+    model, variables = tiny_model()
+    template = get_template("simple_template")
+    head = get_zeroshot_classifier(model, variables, ["cat", "dog"], template)
+    assert head.weight.shape == (2, 32)
+    # Rows are unit-norm embeddings scaled by exp(logit_scale) = 1/0.07.
+    norms = np.linalg.norm(np.asarray(head.weight), axis=1)
+    np.testing.assert_allclose(norms, np.exp(np.asarray(variables["params"]["logit_scale"])), rtol=1e-4)
+
+
+def test_eval_single_dataset(folder_corpus):
+    model, variables = tiny_model()
+    head = get_zeroshot_classifier(model, variables, ["cat", "dog", "fish"], get_template("simple_template"))
+    clf = Classifier(model, variables, head, batch_size=8)
+    ds = ToyDataset(location=folder_corpus, batch_size=8, num_workers=2)
+
+    class _Cfg:
+        self_data = False
+
+    results = eval_single_dataset(clf, ds, _Cfg())
+    assert 0.0 <= results["top1"] <= 1.0
+    assert set(results["class_top1"].keys()) <= {0, 1, 2}
+    total = sum(v[1] for v in results["class_top1"].values())
+    assert total == 12
+
+
+def test_project_logits_hook(folder_corpus):
+    model, variables = tiny_model()
+    head = get_zeroshot_classifier(model, variables, ["cat", "dog", "fish"], get_template("simple_template"))
+    clf = Classifier(model, variables, head, batch_size=8)
+
+    class ProjectingToy(ToyDataset):
+        def project_logits(self, logits):
+            return logits[:, :2]  # drop class 'fish'
+
+        def project_labels(self, labels):
+            return np.clip(labels, 0, 1)
+
+    ds = ProjectingToy(location=folder_corpus, batch_size=8, num_workers=2)
+
+    class _Cfg:
+        self_data = False
+
+    results = eval_single_dataset(clf, ds, _Cfg())
+    assert set(results["class_top1"].keys()) <= {0, 1}
+
+
+def test_post_loop_metrics_hook(folder_corpus):
+    model, variables = tiny_model()
+    head = get_zeroshot_classifier(model, variables, ["cat", "dog", "fish"], get_template("simple_template"))
+    clf = Classifier(model, variables, head, batch_size=8)
+
+    class F1Toy(ToyDataset):
+        def post_loop_metrics(self, labels, logits, metadata, cfg):
+            preds = logits.argmax(axis=1)
+            from flyp_tpu.evaluation.metrics import macro_f1
+
+            return {"acc_avg": float((preds == labels).mean()), "F1-macro_all": macro_f1(preds, labels)}
+
+    ds = F1Toy(location=folder_corpus, batch_size=8, num_workers=2)
+
+    class _Cfg:
+        self_data = False
+
+    results = eval_single_dataset(clf, ds, _Cfg())
+    assert "F1-macro_all" in results
+    # process_train_stat passthrough: f1 keys land in train_stats.
+    from flyp_tpu.evaluation.evaluator import process_train_stat
+
+    stats = {}
+    process_train_stat(results, stats, None, "Toy")
+    assert "ToyF1-macro_all" in stats

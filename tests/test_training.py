@@ -1,0 +1,150 @@
+"""Train-step and schedule tests on the 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+from flyp_tpu.parallel import create_mesh, shard_batch, replicate
+from flyp_tpu.training import (
+    create_train_state,
+    make_optimizer,
+    make_scheduler,
+    make_train_step,
+    warmup_cosine_lr,
+)
+
+
+def tiny_config():
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    return dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=64, layers=2, heads=1),
+        text=dataclasses.replace(cfg.text, context_length=16, vocab_size=256, width=64, heads=1, layers=2),
+    )
+
+
+def make_batch(b=16, cfg=None, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.standard_normal((b, 32, 32, 3)).astype(np.float32)
+    tokens = np.zeros((b, 16), dtype=np.int32)
+    for i in range(b):
+        n = int(rng.integers(2, 14))
+        tokens[i, :n] = rng.integers(1, 254, n)
+        tokens[i, n] = 255
+    return images, tokens
+
+
+# ------------------------------------------------------------------ schedules
+
+
+def test_warmup_cosine_matches_reference_math():
+    base, warmup, steps, min_lr = 1e-5, 10, 100, 1e-7
+    sched = warmup_cosine_lr(base, warmup, steps, min_lr)
+    # Reference closure math (`utils.py:19-34`).
+    for step in [0, 5, 9, 10, 50, 99]:
+        if step < warmup:
+            expected = base * (step + 1) / warmup
+        else:
+            e, es = step - warmup, steps - warmup
+            expected = 0.5 * (1 + np.cos(np.pi * e / es)) * base + min_lr
+        np.testing.assert_allclose(float(sched(step)), expected, rtol=1e-6)
+
+
+def test_crestart_constant_within_epoch():
+    sched = make_scheduler("crestart", 1e-5, 0, epochs=4, num_batches=10)
+    assert float(sched(0)) == float(sched(9))
+    assert float(sched(0)) != float(sched(10))
+    # Restarts after t_0 epochs * steps_per_epoch.
+    np.testing.assert_allclose(float(sched(0)), float(sched(100)), rtol=1e-6)
+
+
+def test_scheduler_names():
+    for name in ("default", "drestart", "default_slower", "crestart"):
+        make_scheduler(name, 1e-5, 500, 10, 100)
+    with pytest.raises(ValueError):
+        make_scheduler("bogus", 1e-5, 500, 10, 100)
+
+
+# ------------------------------------------------------------------ train step
+
+
+def test_train_step_single_device_loss_decreases():
+    cfg = tiny_config()
+    model = CLIPModel(cfg)
+    params = init_clip_params(model, 0)
+    sched = warmup_cosine_lr(1e-3, 2, 50)
+    opt = make_optimizer(sched, weight_decay=0.1)
+    state = create_train_state(params, opt)
+    step_fn = make_train_step(model, opt, donate=False)
+
+    images, tokens = make_batch()
+    losses = []
+    for _ in range(5):
+        state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(tokens))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert metrics["per_item_loss"].shape == (16,)
+    assert int(state.step) == 5
+
+
+def test_train_step_sharded_matches_single_device():
+    """One pjit step on the 8-device mesh == the same step on one device."""
+    cfg = tiny_config()
+    model = CLIPModel(cfg)
+    params = init_clip_params(model, 0)
+    sched = warmup_cosine_lr(1e-3, 2, 50)
+
+    images, tokens = make_batch()
+
+    # Single device.
+    opt = make_optimizer(sched, weight_decay=0.1)
+    state1 = create_train_state(params, opt)
+    single = make_train_step(model, opt, donate=False)
+    state1, m1 = single(state1, jnp.asarray(images), jnp.asarray(tokens))
+
+    # 8-way data-parallel mesh.
+    mesh = create_mesh()
+    opt2 = make_optimizer(sched, weight_decay=0.1)
+    state2 = replicate(mesh, create_train_state(params, opt2))
+    sharded = make_train_step(model, opt2, mesh=mesh, donate=False)
+    imgs_s, toks_s = shard_batch(mesh, (jnp.asarray(images), jnp.asarray(tokens)))
+    state2, m2 = sharded(state2, imgs_s, toks_s)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m2["per_item_loss"]), np.asarray(m1["per_item_loss"]), rtol=1e-4, atol=1e-5
+    )
+
+    # Gradients agree between the partitioned and single-device programs.
+    # (Comparing post-Adam params instead would amplify float noise: the first
+    # Adam step is ~lr*sign(g), so near-zero grads flip update signs.)
+    from flyp_tpu.ops import clip_loss
+
+    def mean_loss(p, i, t):
+        img_f, txt_f, scale = model.apply({"params": p}, i, t)
+        return jnp.mean(clip_loss(img_f, txt_f, scale))
+
+    g1 = jax.grad(mean_loss)(params, jnp.asarray(images), jnp.asarray(tokens))
+    from flyp_tpu.parallel.mesh import replicated_sharding, batch_sharding
+
+    g2 = jax.jit(
+        jax.grad(mean_loss),
+        in_shardings=(replicated_sharding(mesh), batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=replicated_sharding(mesh),
+    )(params, imgs_s, toks_s)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-6)
+
+    # And the loss trajectory tracks over a few more sharded steps.
+    for seed in (1, 2):
+        imgs_n, toks_n = make_batch(seed=seed)
+        state1, m1 = single(state1, jnp.asarray(imgs_n), jnp.asarray(toks_n))
+        imgs_sn, toks_sn = shard_batch(mesh, (jnp.asarray(imgs_n), jnp.asarray(toks_n)))
+        state2, m2 = sharded(state2, imgs_sn, toks_sn)
+        np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=5e-4, atol=5e-5)
