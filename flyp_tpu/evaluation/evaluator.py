@@ -125,6 +125,26 @@ def eval_single_dataset(
     return results
 
 
+def eval_single_batch(classifier: Classifier, dataset, cfg, batch) -> tuple:
+    """Accuracy + CE loss on one fixed batch (`eval.py:272-338`, the few-shot
+    model-selection criterion)."""
+    images = batch["image"]
+    labels = np.asarray(batch["label"])
+    logits = classifier.predict_logits(images)
+
+    project_logits = getattr(dataset, "project_logits", None)
+    if project_logits is not None:
+        logits = project_logits(logits)
+    if hasattr(dataset, "project_labels"):
+        labels = np.asarray(dataset.project_labels(labels))
+
+    shifted = logits - logits.max(axis=1, keepdims=True)
+    log_probs = shifted - np.log(np.exp(shifted).sum(axis=1, keepdims=True))
+    ce_loss = float(-log_probs[np.arange(len(labels)), labels].mean())
+    top1 = float((logits.argmax(axis=1) == labels).mean())
+    return top1, ce_loss
+
+
 def process_train_stat(results: Dict, train_stats: Dict, logger=None, dataset_name: str = "") -> None:
     """Pass worst-group / F1 / pm0 metrics through (`eval.py:26-31`)."""
     for key, val in results.items():
@@ -164,12 +184,17 @@ def evaluate(
         return train_stats
 
     from flyp_tpu.data.registry import get_dataset_class
+    from flyp_tpu.data.transforms import eval_transform
+
+    # Val preprocessing at the encoder's native resolution (the reference
+    # reads image_classifier.module.val_preprocess, `eval.py:392-396`).
+    preprocess = eval_transform(classifier.model.config.vision.image_size)
 
     for dataset_name in cfg.eval_datasets:
         _log(logger, f"Evaluating on {dataset_name}")
         dataset_cls = get_dataset_class(dataset_name)
         dataset = dataset_cls(
-            preprocess=None, location=cfg.data_location, batch_size=cfg.batch_size, num_workers=cfg.workers
+            preprocess=preprocess, location=cfg.data_location, batch_size=cfg.batch_size, num_workers=cfg.workers
         )
         results = eval_single_dataset(classifier, dataset, cfg)
 

@@ -1,0 +1,54 @@
+"""Model construction from experiment config.
+
+Mirrors ``CLIPEncoder``'s weight-source selection
+(`/root/reference/src/models/modeling.py:10-23`): the model-name spelling
+routes to OpenAI vs open_clip checkpoints; ``--clip_load`` restores a
+fine-tuned checkpoint (torch ``.pt`` via the converter, or a flyp_tpu orbax
+directory).  Without a checkpoint (no network egress in CI), params are
+CLIP-initialized randomly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from flyp_tpu.models.clip import CLIPModel, init_clip_params
+from flyp_tpu.models.configs import CLIPConfig, MODEL_CONFIGS, resolve_model_name
+from flyp_tpu.models import convert
+
+
+def build_clip_model(
+    cfg,
+    config_override: Optional[CLIPConfig] = None,
+) -> Tuple[CLIPModel, dict]:
+    """Returns (model, variables) per the experiment config."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    if config_override is not None:
+        config = config_override
+    else:
+        key, _source = resolve_model_name(cfg.model)
+        config = MODEL_CONFIGS[key]
+
+    load_path = cfg.clip_load
+    if load_path and (load_path.endswith(".pt") or load_path.endswith(".bin")):
+        state = convert.load_torch_checkpoint(load_path)
+        params, batch_stats, config = convert.convert_clip_state_dict(state)
+        model = CLIPModel(config, compute_dtype=compute_dtype, remat=cfg.remat)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return model, variables
+
+    model = CLIPModel(config, compute_dtype=compute_dtype, remat=cfg.remat)
+    params = init_clip_params(model, cfg.seed)
+    variables = {"params": params}
+
+    if load_path and os.path.isdir(load_path):
+        from flyp_tpu.utils.checkpoint import restore_params
+
+        variables = {"params": restore_params(load_path, params)}
+    return model, variables

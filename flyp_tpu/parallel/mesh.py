@@ -48,6 +48,18 @@ def create_mesh(config: Optional[MeshConfig] = None, devices: Optional[Sequence[
     return Mesh(arr, (MODEL_AXIS, DATA_AXIS))
 
 
+def create_mesh_for_batch(config: Optional[MeshConfig], batch_size: int) -> Mesh:
+    """Like ``create_mesh`` but caps the data axis at the largest divisor of
+    ``batch_size`` (a batch must split evenly across the data axis)."""
+    config = config or MeshConfig()
+    n = len(jax.devices())
+    model = config.model
+    data = config.data if config.data != -1 else n // model
+    while data > 1 and batch_size % data != 0:
+        data -= 1
+    return create_mesh(MeshConfig(data=data, model=model), devices=jax.devices()[: data * model])
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place host arrays onto the mesh with the leading axis sharded over data."""
     def _put(x):

@@ -1,0 +1,152 @@
+"""Cross-entropy ablation: classify with a language-derived head sampled
+fresh each step (`/root/reference/src/models/ce_ablation.py`).
+
+All |classes| x |templates| prompts are tokenized up front; each step samples
+one template per class, encodes the C class texts and the image batch, and
+takes CE over ``scale * img_f @ txt_f.T`` against the integer labels.  The
+upstream file has a latent NameError (`ce_ablation.py:32` uses an unimported
+``templates`` registry); the behavior implemented is the evident intent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from flyp_tpu.data.registry import get_classnames_for, get_dataset_class
+from flyp_tpu.data.transforms import eval_transform, train_transform
+from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.evaluation.evaluator import evaluate
+from flyp_tpu.models.clip import l2_normalize
+from flyp_tpu.models.factory import build_clip_model
+from flyp_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh_for_batch, replicate, replicated_sharding
+from flyp_tpu.templates import get_template
+from flyp_tpu.tokenizer import tokenize
+from flyp_tpu.training.flyp import _avg_ood_acc, build_zeroshot_head
+from flyp_tpu.training.schedules import make_scheduler
+from flyp_tpu.training.train_state import TrainState, create_train_state, make_optimizer
+from flyp_tpu.utils.checkpoint import save_checkpoint
+from flyp_tpu.utils.metrics_sink import MetricsSink
+
+
+def make_ce_train_step(model, optimizer, mesh=None, label_smoothing: float = 0.0):
+    def train_step(state: TrainState, images, labels, class_texts):
+        def loss_fn(params):
+            variables = {"params": params}
+            img_f = l2_normalize(model.apply(variables, images, method="encode_image"))
+            txt_f = l2_normalize(model.apply(variables, class_texts, method="encode_text"))
+            scale = jnp.exp(params["logit_scale"])
+            logits = (scale * img_f @ txt_f.T).astype(jnp.float32)
+            num_classes = logits.shape[-1]
+            onehot = jax.nn.one_hot(labels, num_classes)
+            if label_smoothing > 0:
+                onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
+            return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, axis=-1), axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        import optax
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state, state.batch_stats)
+        return new_state, {"loss": loss, "learning_rate": opt_state.hyperparams["learning_rate"]}
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl, batch = replicated_sharding(mesh), batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch, batch, repl),
+        out_shardings=(repl, {"loss": repl, "learning_rate": repl}),
+        donate_argnums=(0,),
+    )
+
+
+def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100):
+    log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "ce", cfg.run_key())
+    os.makedirs(log_dir, exist_ok=True)
+    sink = MetricsSink(log_dir, enabled=not cfg.debug)
+
+    if model is None:
+        model, variables = build_clip_model(cfg)
+    image_size = model.config.vision.image_size
+
+    template = get_template(cfg.template)
+    classnames = get_classnames_for(cfg.train_dataset, cfg)
+
+    # Pre-tokenize all classes x templates -> [C, T, 77] (`ce_ablation.py:63-76`).
+    all_texts = np.stack([tokenize([t(c) for t in template]) for c in classnames])
+    assert all_texts.shape[0] == len(classnames) and all_texts.shape[2] == 77
+
+    dataset = get_dataset_class(cfg.train_dataset)(
+        preprocess=train_transform(image_size), location=cfg.data_location,
+        batch_size=cfg.batch_size, num_workers=cfg.workers,
+    )
+    train_loader = dataset.train_loader
+    num_batches = len(train_loader)
+
+    mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
+    schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
+    optimizer = make_optimizer(schedule, cfg.wd)
+    state = replicate(mesh, create_train_state(variables["params"], optimizer, variables.get("batch_stats")))
+    step_fn = make_ce_train_step(model, optimizer, mesh=mesh, label_smoothing=cfg.ls)
+    batch_shard = batch_sharding(mesh)
+
+    rng = np.random.default_rng(cfg.seed)
+    stats = []
+    model_path = None
+    for epoch in range(cfg.epochs):
+        logger.info(f"Epoch : {epoch}")
+        epoch_stats = {"epoch": epoch}
+        id_ce_loss_sum = 0.0
+        train_loader.set_epoch(epoch)
+
+        for i, batch in enumerate(train_loader):
+            if cfg.test:
+                break
+            # One template per class per step (`ce_ablation.py:104-111`).
+            s = rng.integers(0, all_texts.shape[1], size=all_texts.shape[0])
+            current_texts = all_texts[np.arange(all_texts.shape[0]), s]
+
+            n = batch["image"].shape[0]
+            if n != cfg.batch_size:
+                continue  # static shapes on TPU; ragged tail dropped
+            images = jax.device_put(jnp.asarray(batch["image"]), batch_shard)
+            labels = jax.device_put(jnp.asarray(np.asarray(batch["label"], np.int32)), batch_shard)
+            state, metrics = step_fn(state, images, labels, jnp.asarray(current_texts))
+            loss_val = float(metrics["loss"])
+            id_ce_loss_sum += loss_val
+            sink.log({"Epoch": epoch, "ID CE Loss": loss_val, "Learning Rate": float(metrics["learning_rate"])})
+            if i % print_every == 0:
+                logger.info(
+                    f"Train Epoch: {epoch} [{100 * i / num_batches:.0f}% {i}/{num_batches}]\t"
+                    f"ID FLYP Loss: {loss_val:.4f}"
+                )
+
+        id_ce_loss_avg = id_ce_loss_sum / max(num_batches, 1)
+        host_vars = {"params": jax.device_get(state.params)}
+
+        head = build_zeroshot_head(cfg, model, host_vars)
+        clf = Classifier(model, host_vars, head, batch_size=cfg.batch_size)
+        evaluate(clf, cfg, epoch_stats, logger)
+
+        if cfg.save is not None:
+            os.makedirs(cfg.save, exist_ok=True)
+            model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
+            save_checkpoint(model_path, jax.device_get(state))
+            logger.info("Saving model to " + str(model_path))
+
+        ood_acc = _avg_ood_acc(epoch_stats)
+        epoch_stats["Avg OOD Acc"] = round(ood_acc, 4)
+        logger.info(f"Avg OOD Acc : {ood_acc:.4f}")
+        epoch_stats["Avg ID FLYP Loss"] = round(id_ce_loss_avg, 4)
+        stats.append({k: v for k, v in epoch_stats.items() if " Class" not in k})
+        pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
+
+    sink.close()
+    return model_path

@@ -1,0 +1,188 @@
+"""Few-shot FLYP: k-shot binary-task fine-tuning with min-val-loss selection.
+
+Reproduces `/root/reference/src/models/flyp_loss_few_shot.py` and the
+50-restart driver `src/few_shot.py`:
+
+* one fixed, balanced 2k-sample train batch assembled by scanning the
+  contrastive CSV loader for k examples per caption class;
+* one fixed, balanced validation batch assembled the same way from the
+  '*Val' eval dataset (k per label);
+* ``epochs`` single-step updates on the train batch; after each epoch a
+  fresh zero-shot head scores the val batch, and the params snapshot with
+  the minimum val *contrastive-CE* loss is kept (`:186-190`);
+* the kept snapshot is re-scored (reproducibility assert, `:206-207`) and
+  evaluated on the '*Test' dataset.
+
+The reference calls ``backward()`` on the unreduced per-item loss vector;
+here the mean is taken explicitly (the only differentiable reading).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flyp_tpu.data.csv_data import get_csv_loader
+from flyp_tpu.data.registry import get_dataset_class
+from flyp_tpu.data.transforms import eval_transform
+from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.evaluation.evaluator import eval_single_batch, eval_single_dataset
+from flyp_tpu.models.factory import build_clip_model
+from flyp_tpu.training.flyp import build_zeroshot_head
+from flyp_tpu.training.schedules import warmup_cosine_lr
+from flyp_tpu.training.train_state import create_train_state, make_optimizer
+from flyp_tpu.training.train_step import make_train_step
+
+
+def _collect_balanced_contrastive_batch(loader, k: int):
+    """Scan until k samples of each of the two caption classes are found
+    (`flyp_loss_few_shot.py:54-79`)."""
+    imgs0, toks0, imgs1, toks1 = [], [], [], []
+    match = None
+    for batch in _cycle(loader):
+        for i in range(batch["tokens"].shape[0]):
+            tok = batch["tokens"][i]
+            if match is None:
+                match = tok.copy()
+            if np.array_equal(match, tok):
+                if len(toks0) < k:
+                    toks0.append(tok)
+                    imgs0.append(batch["image"][i])
+            elif len(toks1) < k:
+                toks1.append(tok)
+                imgs1.append(batch["image"][i])
+        if len(toks0) == k and len(toks1) == k:
+            break
+    return np.stack(imgs0 + imgs1), np.stack(toks0 + toks1)
+
+
+def _collect_balanced_label_batch(loader, k: int):
+    """k per label from an eval loader (`flyp_loss_few_shot.py:99-126`)."""
+    imgs0, lab0, imgs1, lab1 = [], [], [], []
+    match = None
+    for batch in _cycle(loader):
+        for i in range(len(batch["label"])):
+            lab = int(batch["label"][i])
+            if match is None:
+                match = lab
+            if lab == match:
+                if len(lab0) < k:
+                    lab0.append(lab)
+                    imgs0.append(batch["image"][i])
+            elif len(lab1) < k:
+                lab1.append(lab)
+                imgs1.append(batch["image"][i])
+        if len(lab0) == k and len(lab1) == k:
+            break
+    return {"image": np.stack(imgs0 + imgs1), "label": np.asarray(lab0 + lab1, np.int64)}
+
+
+def _cycle(loader):
+    epoch = 0
+    while True:
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        yield from loader
+        epoch += 1
+
+
+def _find_dataset(cfg, tag: str):
+    for name in cfg.eval_datasets or []:
+        if tag in name:
+            return name
+    raise AssertionError(f"please give {tag.lower()} data")
+
+
+def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float]:
+    if model is None:
+        model, variables = build_clip_model(cfg)
+    image_size = model.config.vision.image_size
+    k = cfg.k
+
+    # Fixed train batch from the contrastive CSV (scanned at batch size k).
+    scan_cfg = dataclasses.replace(cfg, batch_size=k) if dataclasses.is_dataclass(cfg) else cfg
+    train_loader = get_csv_loader(scan_cfg, is_train=True, image_size=image_size)
+    ft_image, ft_text = _collect_balanced_contrastive_batch(train_loader, k)
+
+    # Fixed val batch from the '*Val' eval dataset.
+    val_name = _find_dataset(cfg, "Val")
+    logger.info(f"Evaluating on {val_name}")
+    preprocess = eval_transform(image_size)
+    val_dataset = get_dataset_class(val_name)(
+        preprocess=preprocess, location=cfg.data_location, batch_size=k, num_workers=cfg.workers, k=cfg.k
+    )
+    val_batch = _collect_balanced_label_batch(val_dataset.test_loader, k)
+
+    schedule = warmup_cosine_lr(cfg.lr, cfg.warmup_length, cfg.epochs * 1, cfg.min_lr)
+    optimizer = make_optimizer(schedule, cfg.wd)
+    state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
+    step_fn = make_train_step(model, optimizer, donate=False)
+
+    images_j = jnp.asarray(ft_image)
+    tokens_j = jnp.asarray(ft_text)
+
+    best = {"val": 0.0, "loss": 1e10, "params": None}
+    for epoch in range(-1, cfg.epochs):
+        if epoch != -1:
+            assert ft_image.shape[0] == 2 * k, "batch mismatch"
+            state, metrics = step_fn(state, images_j, tokens_j)
+
+        host_vars = {"params": jax.device_get(state.params)}
+        head = build_zeroshot_head(cfg, model, host_vars)
+        clf = Classifier(model, host_vars, head, batch_size=2 * k)
+        val_acc, cnt_loss = eval_single_batch(clf, val_dataset, cfg, val_batch)
+        logger.info(f"Epoch {epoch} results {val_acc}")
+
+        if cnt_loss <= best["loss"]:
+            best = {"val": val_acc, "loss": cnt_loss, "params": copy.deepcopy(host_vars["params"])}
+
+    # Restore best and assert the scores reproduce (`:198-207`).
+    host_vars = {"params": best["params"]}
+    head = build_zeroshot_head(cfg, model, host_vars)
+    clf = Classifier(model, host_vars, head, batch_size=2 * k)
+    val_acc, cnt_loss = eval_single_batch(clf, val_dataset, cfg, val_batch)
+    assert val_acc == best["val"], f"max val not matching Max {best['val']}, new {val_acc}"
+    assert abs(cnt_loss - best["loss"]) < 1e-6, f"min val not matching Max {best['loss']}, new {cnt_loss}"
+
+    test_name = _find_dataset(cfg, "Test")
+    logger.info(f"Evaluating on {test_name}")
+    test_dataset = get_dataset_class(test_name)(
+        preprocess=preprocess, location=cfg.data_location, batch_size=cfg.batch_size, num_workers=cfg.workers, k=cfg.k
+    )
+    clf_full = Classifier(model, host_vars, head, batch_size=cfg.batch_size)
+    results = eval_single_dataset(clf_full, test_dataset, cfg)
+    return val_acc, round(results["top1"], 4)
+
+
+def few_shot_driver(cfg, logger, num_runs: int = 50, model_factory=None) -> dict:
+    """50-restart protocol writing mean/std to stats_final.txt
+    (`src/few_shot.py:36-57`)."""
+    assert cfg.k in (4, 16, 32), "please specify correct k"
+    log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "few_shot", cfg.run_key())
+    os.makedirs(log_dir, exist_ok=True)
+
+    val_accs, test_accs = [], []
+    for run_iter in range(num_runs):
+        logger.info(f"------------------ Running iteration {run_iter} -------------------")
+        model, variables = (model_factory() if model_factory else build_clip_model(cfg))
+        val_acc, test_acc = flyp_few_shot(cfg, logger, model=model, variables=variables)
+        logger.info(f"Val {val_acc} {test_acc}")
+        val_accs.append(val_acc)
+        test_accs.append(test_acc)
+
+    summary = {
+        "Val": round(float(np.mean(val_accs)), 4),
+        "Test": round(float(np.mean(test_accs)), 4),
+        "ValDev": round(float(np.std(val_accs)), 4),
+        "TestDev": round(float(np.std(test_accs)), 4),
+    }
+    with open(os.path.join(log_dir, "stats_final.txt"), "w") as f:
+        for key, value in summary.items():
+            f.write(f"{key}: {value}\n")
+    return summary

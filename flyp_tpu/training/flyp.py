@@ -1,0 +1,378 @@
+"""The FLYP trainer: contrastive fine-tuning with per-epoch zero-shot eval.
+
+TPU-native re-expression of `/root/reference/src/models/flyp_loss.py:257-673`:
+
+* One jitted train step runs the dual-tower forward, global-batch InfoNCE,
+  and AdamW update over the device mesh (params replicated, batch sharded —
+  replaces ``nn.DataParallel`` + the dormant torch.distributed path).
+* The curriculum state machine (guidance sequencing, curriculum_epoch loop
+  budget, progress-driven selection with 15% exploration, proportion mixing,
+  loss-pair clustering) is preserved verbatim in behavior.
+* Per epoch: orbax checkpoint (params + optimizer + curriculum cursor —
+  upstream drops optimizer state), fresh zero-shot head from the updated
+  text tower, full eval-suite pass, Avg-OOD aggregation (skipping the
+  literal 'ImageNet Accuracy' key, as upstream), class_stats{n}.tsv and
+  stats.tsv with identical filenames/columns.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from flyp_tpu.data.csv_data import get_csv_loader
+from flyp_tpu.data.registry import get_classnames_for
+from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.evaluation.evaluator import evaluate
+from flyp_tpu.evaluation.zeroshot import get_zeroshot_classifier
+from flyp_tpu.models.factory import build_clip_model
+from flyp_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh_for_batch, replicate
+from flyp_tpu.templates import get_template
+from flyp_tpu.training.curriculum import (
+    choose_guidance_by_progress,
+    init_guidance_setting,
+    seq_curri_guid,
+)
+from flyp_tpu.training.schedules import make_scheduler
+from flyp_tpu.training.train_state import create_train_state, make_optimizer
+from flyp_tpu.training.train_step import make_train_step
+from flyp_tpu.utils.checkpoint import CurriculumCursor, save_checkpoint
+from flyp_tpu.utils.logging import get_logger
+from flyp_tpu.utils.metrics_sink import MetricsSink
+
+
+def _resolve_zeroshot_classnames(cfg):
+    """Classname source for the per-epoch zero-shot head
+    (`zeroshot.py:26-50`)."""
+    if cfg.self_data:
+        import pathlib
+
+        labels = pathlib.Path(__file__).parent.parent / "data" / "metadata" / "iwildcam" / "labels.csv"
+        df = pd.read_csv(labels)
+        df = df[df["y"] < 99999]
+        return df["english"].tolist()
+    return get_classnames_for(cfg.train_dataset, cfg)
+
+
+def build_zeroshot_head(cfg, model, variables):
+    template = get_template(cfg.template)
+    classnames = _resolve_zeroshot_classnames(cfg)
+    return get_zeroshot_classifier(model, variables, classnames, template)
+
+
+def progress_eval(cfg, model, variables, last_perform, epoch, logger, progress_ma=None):
+    """Per-guidance eval deltas vs the previous epoch (`flyp_loss.py:107-149`)."""
+    head = build_zeroshot_head(cfg, model, variables)
+    clf = Classifier(model, variables, head, batch_size=cfg.batch_size)
+    eval_data = get_csv_loader(cfg, is_train=False, image_size=model.config.vision.image_size, return_guidance=True)
+    stats: dict = {}
+    evaluate(clf, cfg, stats, logger, progress_eval=True, eval_batch_loader=eval_data)
+
+    keyword = "Accuracy" if cfg.progress_metric == "Acc" else "F1"
+    res_progress, str_progress, cur_stats = {}, {}, {}
+    for key, value in stats.items():
+        if "Number" in key or keyword not in key:
+            continue
+        last = last_perform.get(key, 0)
+        guid = int(key.replace("Strength ", "").replace("Guidance ", "").replace(" Accuracy", "").replace(" F1", ""))
+        if cfg.ma_progress and progress_ma is not None:
+            progress_ma.setdefault(guid, []).append(value)
+            value = float(np.mean(progress_ma[guid]))
+        str_progress[f"Guidance {guid}"] = round(value - last, 6)
+        res_progress[guid] = value - last
+        cur_stats[guid] = value
+    return res_progress, str_progress, dict(stats), cur_stats
+
+
+def progress_eval_train(cfg, model, variables, epoch, logger, progress_ma=None):
+    """Per-image best-guidance scan over the train CSV
+    (`flyp_loss.py:152-194`, `eval.py:34-78`)."""
+    head = build_zeroshot_head(cfg, model, variables)
+    clf = Classifier(model, variables, head, batch_size=cfg.batch_size)
+    data = get_csv_loader(
+        cfg, is_train=False, image_size=model.config.vision.image_size,
+        return_guidance=True, return_img_id=True, only_img_id=True,
+    )
+    dict_preds: dict = {}
+    for batch in data.test_loader:
+        logits = clf.predict_logits(batch["image"])
+        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs /= probs.sum(axis=1, keepdims=True)
+        for i in range(len(batch["label"])):
+            img_id = int(batch["img_id"][i])
+            dict_preds.setdefault(img_id, []).append(
+                [int(batch["guidance"][i]), float(probs[i, int(batch["label"][i])])]
+            )
+
+    dict_best_guid = {}
+    for img_id, pairs in dict_preds.items():
+        if cfg.ma_progress and progress_ma is not None:
+            progress_ma.setdefault(img_id, []).extend(pairs)
+            merged = progress_ma[img_id]
+            pairs = [
+                [g, float(np.mean([p for gg, p in merged if gg == g]))]
+                for g in {g for g, _ in merged}
+            ]
+        dict_best_guid[img_id] = sorted(pairs, key=lambda x: x[-1], reverse=True)[0][0]
+    return dict_best_guid
+
+
+def _avg_ood_acc(epoch_stats: dict) -> float:
+    """Mean accuracy over eval sets, skipping the literal 'ImageNet Accuracy'
+    ID key (`flyp_loss.py:604-616`)."""
+    ood_acc, num = 0.0, 0
+    for k, v in epoch_stats.items():
+        if "Accuracy" in k and "Class" not in k and "Guidance" not in k:
+            if k == "ImageNet Accuracy":
+                continue
+            ood_acc += v
+            num += 1
+    return ood_acc / num if num else 0.0
+
+
+def _write_class_stats(epoch_stats: dict, eval_datasets, log_dir: str, epoch: int) -> None:
+    """class_stats{epoch}.tsv with per-dataset accuracy/count columns
+    (`flyp_loss.py:620-653`)."""
+    ind = {k: i for i, k in enumerate(eval_datasets)}
+    class_stats: dict = {}
+    for k, v in epoch_stats.items():
+        if " Class " not in k:
+            continue
+        ds_name, rest = k.split(" Class ", 1)
+        row = None
+        if "Accuracy" in rest:
+            row, col = f"Class {rest.replace(' Accuracy', '')}", 2 * ind[ds_name]
+        elif "Number" in rest:
+            row, col = f"Class {rest.replace(' Number', '')}", 2 * ind[ds_name] + 1
+        if row is not None:
+            class_stats.setdefault(row, [0] * 2 * len(eval_datasets))[col] = v
+    columns = []
+    for name in eval_datasets:
+        columns += [name, name + " Count"]
+    pd.DataFrame.from_dict(class_stats, orient="index", columns=columns).to_csv(
+        os.path.join(log_dir, f"class_stats{epoch}.tsv"), sep="\t"
+    )
+
+
+def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 100):
+    """Run FLYP fine-tuning; returns the last checkpoint path (if saving)."""
+    log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "flyp", cfg.run_key())
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logger or get_logger(log_dir)
+    sink = MetricsSink(log_dir, enabled=not cfg.debug, config=vars(cfg), name=cfg.exp_name, group=cfg.wandb_group_name)
+
+    if model is None:
+        model, variables = build_clip_model(cfg)
+    image_size = model.config.vision.image_size
+
+    mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
+    logger.info(f"Mesh: {mesh}")
+
+    # cont_finetune restores a prior run's checkpoint (`flyp_loss.py:283-304`
+    # hardcodes author paths; here --clip_load carries the path).
+    list_classes = None
+
+    guid = init_guidance_setting(cfg, logger, list_classes=list_classes)
+    cur_guidance_id, cur_guidance = guid.cur_guidance_id, guid.cur_guidance
+    list_guidance, loop_times = guid.list_guidance, guid.loop_times
+    cur_str_times = 1
+
+    ori_proportion = 0.1 if cfg.proportion else None
+
+    def load_train_loader(epoch, guidance, str_times, proportion):
+        if guidance is not None:
+            logger.info(f"loading image guidance = {guidance}, loop times {str_times}")
+            sink.log({"Epoch": epoch, "Image Guidance": guidance})
+        return get_csv_loader(
+            cfg, is_train=True, image_size=image_size,
+            guidance=guidance, list_selection=list_classes, ori_proportion=proportion,
+            return_img_id=(cfg.cluster == "loss"),
+        )
+
+    ft_loader = load_train_loader(0, cur_guidance, cur_str_times, ori_proportion)
+    num_batches = len(ft_loader)
+    if cfg.curriculum:
+        if cfg.curriculum_epoch is None:
+            num_batches = (
+                int(guid.len_data / cfg.batch_size) if guid.len_data is not None
+                else num_batches * len(list_guidance)
+            )
+        else:
+            num_batches = guid.num_batch_ori
+    logger.info(f"Num batches is {num_batches}")
+
+    schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
+    optimizer = make_optimizer(schedule, cfg.wd)
+    state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
+    state = replicate(mesh, state)
+    step_fn = make_train_step(model, optimizer, mesh=mesh)
+    batch_shard = batch_sharding(mesh)
+
+    explore_rng = np.random.default_rng(cfg.seed)
+    stats = []
+    last_perform: dict = {}
+    loss_pairs: list = []
+    model_path = None
+    start_epoch = 0
+
+    ft_iterator = iter(ft_loader)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        # curriculum_epoch rollover to guidance-100 training (`flyp_loss.py:390-406`).
+        if cfg.curriculum_epoch is not None and epoch >= cfg.curriculum_epoch:
+            if cfg.scheduler == "drestart":
+                logger.info("Restart scheduler")
+                schedule_r = make_scheduler(
+                    "default", cfg.lr, cfg.warmup_length,
+                    cfg.epochs - start_epoch - cfg.curriculum_epoch, num_batches, cfg.min_lr,
+                )
+                optimizer = make_optimizer(schedule_r, cfg.wd)
+                params = jax.device_get(state.params)
+                state = replicate(mesh, create_train_state(params, optimizer, state.batch_stats))
+                step_fn = make_train_step(model, optimizer, mesh=mesh)
+            if cur_guidance != 0 and cur_guidance != 100:
+                logger.info("Restart dataloader")
+                cur_guidance = 100
+                cur_guidance_id = list_guidance.index(100)
+                cur_str_times = 1
+                ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, None)
+                ft_iterator = iter(ft_loader)
+
+        logger.info(f"Epoch : {epoch}")
+        epoch_stats = {"Epoch": epoch, "epoch": epoch}
+        progress_ma: dict = {}
+        id_flyp_loss_sum = 0.0
+
+        for i in range(num_batches):
+            if cfg.test:
+                logger.info("Skipping training process")
+                break
+
+            try:
+                batch = next(ft_iterator)
+            except StopIteration:
+                proportion = None
+                if cfg.curriculum:
+                    if cfg.curriculum_epoch is not None and epoch > cfg.curriculum_epoch:
+                        cur_guidance = 100
+                        cur_guidance_id = list_guidance.index(100)
+                        cur_str_times = 1
+                    else:
+                        if not cfg.progress:
+                            if cfg.curriculum_epoch is None:
+                                cur_guidance_id, cur_guidance = seq_curri_guid(
+                                    list_guidance, cur_guidance_id=cur_guidance_id, ctype="no_curri"
+                                )
+                            else:
+                                cur_guidance_id, cur_guidance, cur_str_times = seq_curri_guid(
+                                    list_guidance,
+                                    cur_guidance_id=cur_guidance_id,
+                                    cur_str_times=cur_str_times,
+                                    ctype="in_curri",
+                                    loop_times=loop_times,
+                                )
+                        else:
+                            res_progress, _, last_perform, _ = progress_eval(
+                                cfg, model, {"params": jax.device_get(state.params)}, last_perform, epoch, logger
+                            )
+                            cur_guidance_id, cur_guidance = choose_guidance_by_progress(
+                                res_progress, list_guidance, cfg.explore, explore_rng
+                            )
+                            cur_str_times = 0
+                        if cfg.proportion and cfg.curriculum_epoch:
+                            proportion = 1 / cfg.curriculum_epoch * epoch
+                    ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, proportion)
+                ft_iterator = iter(ft_loader)
+                batch = next(ft_iterator)
+
+            images = jax.device_put(jnp.asarray(batch["image"]), batch_shard)
+            tokens = jax.device_put(jnp.asarray(batch["tokens"]), batch_shard)
+            state, metrics = step_fn(state, images, tokens)
+
+            loss_val = float(metrics["loss"])
+            id_flyp_loss_sum += loss_val
+
+            if cfg.cluster == "loss":
+                per_item = np.asarray(metrics["per_item_loss"])
+                loss_pairs.extend(zip(np.asarray(batch["img_id"]).tolist(), per_item.tolist()))
+
+            sink.log({
+                "Epoch": epoch,
+                "ID FLYP Loss": loss_val,
+                "Learning Rate": float(metrics["learning_rate"]),
+            })
+            if i % print_every == 0:
+                pct = 100 * i / num_batches
+                logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {i}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
+
+        id_flyp_loss_avg = id_flyp_loss_sum / max(num_batches, 1)
+        host_params = jax.device_get(state.params)
+        host_variables = {"params": host_params}
+        if state.batch_stats is not None:
+            host_variables["batch_stats"] = jax.device_get(state.batch_stats)
+
+        # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
+        if cfg.save is not None and not cfg.ma_progress:
+            os.makedirs(cfg.save, exist_ok=True)
+            model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
+            cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
+            save_checkpoint(model_path, jax.device_get(state), cursor)
+            logger.info("Saving model to " + str(model_path))
+
+        # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------
+        if cfg.progress_train:
+            logger.info("Progress evaluation on training data ...")
+            dict_best_guid = progress_eval_train(cfg, model, host_variables, epoch, logger, progress_ma)
+            dict_best_guid["Epoch"] = epoch
+            with open(os.path.join(log_dir, f"best_guid{epoch}.pkl"), "wb") as f:
+                pickle.dump(dict_best_guid, f)
+            if cfg.cluster == "loss":
+                from sklearn.cluster import KMeans
+
+                arr = np.array([p[-1] for p in loss_pairs]).reshape(-1, 1)
+                km = KMeans(n_clusters=7, random_state=0, n_init=10).fit(arr)
+                new_pairs = [[p[0], p[1], int(l)] for p, l in zip(loss_pairs, km.labels_)]
+                with open(os.path.join(log_dir, f"group_guid{epoch}.pkl"), "wb") as f:
+                    pickle.dump(new_pairs, f)
+            return model_path  # upstream exits here (`flyp_loss.py:579`)
+
+        # -- per-guidance progress dump (`flyp_loss.py:582-597`) --------------
+        if cfg.progress_eval:
+            logger.info("Progress evaluation ...")
+            _, str_progress, last_perform, _ = progress_eval(
+                cfg, model, host_variables, last_perform, epoch, logger, progress_ma
+            )
+            str_progress["Epoch"] = epoch
+            pd.DataFrame.from_dict(str_progress, orient="index").to_csv(
+                os.path.join(log_dir, f"progress{epoch}.tsv"), sep="\t"
+            )
+            with open(os.path.join(log_dir, f"progress{epoch}.pkl"), "wb") as f:
+                pickle.dump([last_perform, progress_ma], f)
+
+        # -- formal eval (`flyp_loss.py:600-668`) -----------------------------
+        logger.info("Formal evaluation ...")
+        head = build_zeroshot_head(cfg, model, host_variables)
+        clf = Classifier(model, host_variables, head, batch_size=cfg.batch_size)
+        evaluate(clf, cfg, epoch_stats, logger)
+
+        ood_acc = _avg_ood_acc(epoch_stats)
+        if cfg.eval_datasets:
+            _write_class_stats(epoch_stats, cfg.eval_datasets, log_dir, epoch)
+
+        epoch_stats["Avg OOD Acc"] = round(ood_acc, 4)
+        logger.info(f"Avg OOD Acc : {ood_acc:.4f}")
+        logger.info(f"Avg ID FLYP Loss : {id_flyp_loss_avg:.4f}")
+        epoch_stats["Avg ID FLYP Loss"] = round(id_flyp_loss_avg, 4)
+        epoch_stats = {k: v for k, v in epoch_stats.items() if " Class" not in k}
+        stats.append(epoch_stats)
+        pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
+        sink.log(epoch_stats)
+
+    sink.close()
+    return model_path

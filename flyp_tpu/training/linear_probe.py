@@ -1,0 +1,109 @@
+"""Linear probe: encoder features + logistic-regression C sweep with warm
+starts (`/root/reference/src/models/linear_lbfgs.py`).
+
+Features are extracted once with the jitted image tower and cached to disk
+(the FeatureDataset pattern of `common.py:81-169`); the sweep selects the
+best C on the evaluation features.  The upstream file hardcodes an author
+home directory for the feature path (`linear_lbfgs.py:120`) — here
+``cfg.cache_dir`` is the root.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+from typing import Optional, Tuple
+
+import numpy as np
+
+from flyp_tpu.data.registry import get_dataset_class
+from flyp_tpu.data.transforms import eval_transform, train_transform
+from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.models.factory import build_clip_model
+from flyp_tpu.models.head import ClassificationHead
+
+
+def extract_features(classifier: Classifier, loader, cache_path: Optional[str] = None):
+    """Encode a loader's images once; optionally cache (features, labels)."""
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
+    feats, labels = [], []
+    for batch in loader:
+        feats.append(classifier.features(batch["image"]))
+        labels.append(np.asarray(batch["label"]))
+    out = (np.concatenate(feats), np.concatenate(labels))
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump(out, f)
+    return out
+
+
+def log_reg_warm_start_sweep(
+    train_features,
+    train_labels,
+    test_features,
+    test_labels,
+    num_cs: int = 100,
+    start_c: float = -1,
+    end_c: float = 2,
+    max_iter: int = 200,
+    random_state: int = 0,
+):
+    """Warm-started L-BFGS logistic regression over a log-C grid
+    (`linear_lbfgs.py:23-62`)."""
+    from sklearn.linear_model import LogisticRegression
+
+    cs = np.logspace(start_c, end_c, num_cs)
+    clf = LogisticRegression(random_state=random_state, warm_start=True, max_iter=max_iter)
+    best = {"acc": -1.0}
+    for i, c in enumerate(cs):
+        clf.C = c
+        clf.fit(train_features, train_labels)
+        acc = float((clf.predict(test_features) == test_labels).mean())
+        if acc > best["acc"]:
+            best = {
+                "acc": acc,
+                "coef": copy.deepcopy(clf.coef_),
+                "intercept": copy.deepcopy(clf.intercept_),
+                "c": float(c),
+                "i": i,
+            }
+    return best
+
+
+def linear_probe(cfg, logger, model=None, variables=None, num_cs: int = 100) -> dict:
+    assert cfg.train_dataset is not None, "Please provide a training dataset."
+    logger.info("Linear Probe")
+    if model is None:
+        model, variables = build_clip_model(cfg)
+    image_size = model.config.vision.image_size
+
+    clf = Classifier(model, variables, ClassificationHead.zeros(1, model.config.embed_dim), batch_size=cfg.batch_size)
+
+    train_ds = get_dataset_class(cfg.train_dataset)(
+        preprocess=train_transform(image_size), location=cfg.data_location,
+        batch_size=cfg.batch_size, num_workers=cfg.workers,
+    )
+    cache = cfg.cache_dir
+    train_cache = os.path.join(cache, cfg.train_dataset, "train", "features.pkl") if cache else None
+    train_features, train_labels = extract_features(clf, train_ds.train_loader, train_cache)
+
+    eval_name = cfg.eval_datasets[0]
+    eval_ds = get_dataset_class(eval_name)(
+        preprocess=eval_transform(image_size), location=cfg.data_location,
+        batch_size=cfg.batch_size, num_workers=cfg.workers,
+    )
+    eval_cache = os.path.join(cache, eval_name, "val", "features.pkl") if cache else None
+    test_features, test_labels = extract_features(clf, eval_ds.test_loader, eval_cache)
+
+    best = log_reg_warm_start_sweep(train_features, train_labels, test_features, test_labels, num_cs=num_cs)
+    logger.info(f"Best i {best['i']} best c : {best['c']} best acc : {best['acc']}")
+
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        with open(os.path.join(cache, f"best_probe_{cfg.run}.pkl"), "wb") as f:
+            pickle.dump(best, f)
+    return best

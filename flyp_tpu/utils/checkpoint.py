@@ -1,0 +1,96 @@
+"""Orbax checkpointing: params + optimizer state + curriculum cursor.
+
+The reference saves per-epoch ``{epoch, cur_guidance, cur_str_times,
+cur_guidance_id, model_state_dict}`` and *omits* optimizer state
+(`flyp_loss.py:545-552`, the optimizer save is commented out), and its
+auto-resume block is disabled (`:318-333`).  Here the full train state —
+params, AdamW moments, step, batch stats, and the curriculum cursor — is
+checkpointed, so resume is exact (SURVEY.md §5 "rebuild" item).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class CurriculumCursor:
+    epoch: int = 0
+    cur_guidance: Optional[int] = None
+    cur_str_times: int = 1
+    cur_guidance_id: int = 0
+
+    def to_dict(self) -> Dict[str, Any]:
+        # None encodes as -1: checkpoint leaves must be numeric arrays.
+        d = dataclasses.asdict(self)
+        d["cur_guidance"] = -1 if d["cur_guidance"] is None else d["cur_guidance"]
+        return {k: np.int64(v) for k, v in d.items()}
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "CurriculumCursor":
+        out = {k: int(v) for k, v in d.items()}
+        if out["cur_guidance"] == -1:
+            out["cur_guidance"] = None
+        return cls(**out)
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state, cursor: Optional[CurriculumCursor] = None) -> str:
+    """Save a TrainState (+cursor) to ``path`` (an absolute directory)."""
+    path = os.path.abspath(path)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats if state.batch_stats is not None else {},
+        "cursor": (cursor or CurriculumCursor()).to_dict(),
+    }
+    payload = jax.tree_util.tree_map(np.asarray, payload, is_leaf=lambda x: x is None)
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, state) -> Tuple[Any, CurriculumCursor]:
+    """Restore into the structure of ``state``; returns (state, cursor)."""
+    path = os.path.abspath(path)
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats if state.batch_stats is not None else {},
+        "cursor": CurriculumCursor().to_dict(),
+    }
+    restored = _checkpointer().restore(path, item=jax.tree_util.tree_map(np.asarray, template))
+    cursor = CurriculumCursor.from_dict(restored["cursor"])
+    new_state = dataclasses.replace(
+        state,
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state), jax.tree_util.tree_leaves(restored["opt_state"])
+        ),
+        batch_stats=restored["batch_stats"] if state.batch_stats is not None else None,
+    )
+    return new_state, cursor
+
+
+def save_params(path: str, params) -> str:
+    """Save a bare param pytree (classifier/zero-shot head export)."""
+    path = os.path.abspath(path)
+    _checkpointer().save(path, jax.tree_util.tree_map(np.asarray, params), force=True)
+    return path
+
+
+def restore_params(path: str, template) -> Any:
+    path = os.path.abspath(path)
+    return _checkpointer().restore(path, item=jax.tree_util.tree_map(np.asarray, template))

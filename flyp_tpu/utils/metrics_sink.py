@@ -1,0 +1,46 @@
+"""Experiment metric sink.
+
+The reference streams per-step metrics to wandb (`flyp_loss.py:339-341,524`);
+this environment has no network, so the sink writes the same records to a
+JSONL file (and to wandb when the package is importable and not disabled via
+``--debug``, preserving upstream behavior)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricsSink:
+    def __init__(self, log_dir: Optional[str], enabled: bool = True, project: str = "sd_exprs", config=None, name=None, group=None):
+        self.enabled = enabled
+        self._file = None
+        self._wandb = None
+        if not enabled:
+            return
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        try:  # pragma: no cover - wandb not installed in this image
+            import wandb
+
+            wandb.init(project=project, config=config, name=name, group=group)
+            self._wandb = wandb
+        except Exception:
+            self._wandb = None
+
+    def log(self, record: Dict[str, Any]) -> None:
+        if not self.enabled:
+            return
+        if self._file is not None:
+            clean = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+            self._file.write(json.dumps({"ts": time.time(), **clean}) + "\n")
+            self._file.flush()
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.log(record)
+
+    def close(self) -> None:
+        if self._file is not None:
+            self._file.close()

@@ -1,0 +1,146 @@
+"""End-to-end FLYP trainer tests on a synthetic corpus (tiny model, CPU mesh)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from flyp_tpu.config import ExperimentConfig
+from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+from flyp_tpu.training.curriculum import init_guidance_setting, seq_curri_guid
+from flyp_tpu.training.flyp import flyp_train
+
+
+def tiny_model():
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=64, layers=2, heads=1),
+        text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2),
+    )
+    model = CLIPModel(cfg)
+    return model, {"params": init_clip_params(model, 0)}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic patchcamelyon folder tree + contrastive TSV with guidance."""
+    root = tmp_path_factory.mktemp("flyp_corpus")
+    rng = np.random.default_rng(0)
+    classnames = ["lymph node", "lymph node containing metastatic tumor tissue"]
+
+    for split in ("train", "val"):
+        for ci in range(2):
+            d = root / "patchcamelyon" / split / f"class_{ci}"
+            d.mkdir(parents=True)
+            for i in range(8):
+                base = np.full((36, 36, 3), 60 + 120 * ci, np.uint8)
+                noise = rng.integers(0, 40, (36, 36, 3), dtype=np.uint8)
+                Image.fromarray(base + noise).save(d / f"{i}.png")
+
+    rows = []
+    for guidance in (2, 100):
+        for ci in range(2):
+            d = root / "patchcamelyon" / "train" / f"class_{ci}"
+            for i in range(8):
+                rows.append({
+                    "title": f"this is a photo of {classnames[ci]}",
+                    "filepath": str(d / f"{i}.png"),
+                    "label": ci,
+                    "guidance": guidance,
+                    "img_id": guidance * 100 + ci * 10 + i,
+                })
+    df = pd.DataFrame(rows)
+    train_csv = root / "train.tsv"
+    df.to_csv(train_csv, sep="\t", index=False)
+    return {"root": str(root), "train_csv": str(train_csv)}
+
+
+def make_cfg(corpus, tmp_path, **overrides):
+    defaults = dict(
+        train_dataset="PatchCamelyonVal",
+        template="patchcamelyon_template",
+        eval_datasets=["PatchCamelyonVal"],
+        data_location=corpus["root"],
+        ft_data=corpus["train_csv"],
+        ft_data_test=corpus["train_csv"],
+        batch_size=8,
+        lr=1e-3,
+        wd=0.1,
+        warmup_length=2,
+        epochs=1,
+        workers=2,
+        debug=True,
+        compute_dtype="float32",
+        log_dir=str(tmp_path / "logs"),
+        save=None,
+    )
+    defaults.update(overrides)
+    return ExperimentConfig(**defaults)
+
+
+def test_flyp_train_end_to_end(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, save=str(tmp_path / "ckpt"))
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+
+    stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
+    assert "Avg OOD Acc" in stats.columns
+    assert "Avg ID FLYP Loss" in stats.columns
+    assert "PatchCamelyonVal Accuracy" in stats.columns
+    assert len(stats) == 1
+    # class_stats TSV exists with per-dataset columns.
+    cs = pd.read_csv(os.path.join(cfg.log_dir, "class_stats0.tsv"), sep="\t", index_col=0)
+    assert list(cs.columns) == ["PatchCamelyonVal", "PatchCamelyonVal Count"]
+    # checkpoint written
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "checkpoint_0"))
+
+
+def test_flyp_train_curriculum(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, curriculum=True, epochs=1)
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+    stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
+    assert len(stats) == 1
+
+
+def test_flyp_train_test_flag_skips_training(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, test=True)
+    flyp_train(cfg, model=model, variables=variables)
+    assert os.path.isfile(os.path.join(cfg.log_dir, "stats.tsv"))
+
+
+def test_init_guidance_setting(corpus):
+    cfg = ExperimentConfig(curriculum=True, ft_data=corpus["train_csv"], batch_size=8)
+    s = init_guidance_setting(cfg)
+    assert s.list_guidance == [2, 100]
+    assert s.cur_guidance == 2
+
+    cfg2 = ExperimentConfig(curriculum=True, curriculum_epoch=2, ft_data=corpus["train_csv"], batch_size=8)
+    s2 = init_guidance_setting(cfg2)
+    assert s2.num_batch_ori == 2  # 16 guidance-100 rows / batch 8
+    assert s2.loop_times == 2  # ceil(2*2*8 / 16)
+
+    cfg3 = ExperimentConfig(guidance=2, ft_data=corpus["train_csv"], batch_size=8)
+    s3 = init_guidance_setting(cfg3)
+    assert s3.list_guidance == [2] and s3.len_data == 16
+
+
+def test_seq_curri_guid_state_machine():
+    lg = [0, 2, 5, 100]
+    # no_curri wraps around
+    assert seq_curri_guid(lg, cur_guidance_id=3, ctype="no_curri") == (0, 0)
+    # in_curri loops each guidance loop_times then advances, clamping at end
+    gid, guid, times = seq_curri_guid(lg, cur_guidance_id=0, cur_str_times=1, ctype="in_curri", loop_times=2)
+    assert (gid, guid, times) == (0, 0, 2)
+    gid, guid, times = seq_curri_guid(lg, cur_guidance_id=0, cur_str_times=2, ctype="in_curri", loop_times=2)
+    assert (gid, guid, times) == (1, 2, 1)
+    gid, guid, times = seq_curri_guid(lg, cur_guidance_id=3, cur_str_times=2, ctype="in_curri", loop_times=2)
+    assert (gid, guid, times) == (3, 100, 1)
+    # out_curri jumps to guidance 100
+    assert seq_curri_guid(lg, ctype="out_curri") == (3, 100, 1)

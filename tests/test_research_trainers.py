@@ -1,0 +1,176 @@
+"""End-to-end tests for the research trainers (few-shot, CE ablation,
+fisher, linear probe, progress validation) plus checkpoint resume."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+import jax
+
+from flyp_tpu.config import ExperimentConfig
+from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+from flyp_tpu.utils.logging import get_logger
+
+
+def tiny_model(seed=0):
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=64, layers=2, heads=1),
+        text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2),
+    )
+    model = CLIPModel(cfg)
+    return model, {"params": init_clip_params(model, seed)}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("research_corpus")
+    rng = np.random.default_rng(0)
+    classnames = ["lymph node", "lymph node containing metastatic tumor tissue"]
+
+    for split in ("train", "val", "test", "train_shot_4"):
+        for ci in range(2):
+            d = root / "patchcamelyon" / split / f"class_{ci}"
+            d.mkdir(parents=True)
+            for i in range(10):
+                base = np.full((36, 36, 3), 50 + 140 * ci, np.uint8)
+                Image.fromarray(base + rng.integers(0, 40, (36, 36, 3), dtype=np.uint8)).save(d / f"{i}.png")
+
+    rows = []
+    for guidance in (2, 100):
+        for ci in range(2):
+            d = root / "patchcamelyon" / "train" / f"class_{ci}"
+            for i in range(10):
+                rows.append({
+                    "title": f"this is a photo of {classnames[ci]}",
+                    "filepath": str(d / f"{i}.png"),
+                    "label": ci,
+                    "guidance": guidance,
+                    "img_id": guidance * 100 + ci * 10 + i,
+                })
+    csv = root / "train.tsv"
+    pd.DataFrame(rows).to_csv(csv, sep="\t", index=False)
+    return {"root": str(root), "train_csv": str(csv)}
+
+
+def make_cfg(corpus, tmp_path, **overrides):
+    defaults = dict(
+        train_dataset="PatchCamelyonVal",
+        template="patchcamelyon_template",
+        eval_datasets=["PatchCamelyonVal", "PatchCamelyonTest"],
+        data_location=corpus["root"],
+        ft_data=corpus["train_csv"],
+        ft_data_test=corpus["train_csv"],
+        batch_size=4,
+        lr=1e-3,
+        wd=0.1,
+        warmup_length=1,
+        epochs=2,
+        workers=2,
+        debug=True,
+        compute_dtype="float32",
+        log_dir=str(tmp_path / "logs"),
+    )
+    defaults.update(overrides)
+    return ExperimentConfig(**defaults)
+
+
+def test_few_shot(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, k=4, epochs=2)
+    logger = get_logger(None)
+    from flyp_tpu.training.few_shot import flyp_few_shot
+
+    val_acc, test_acc = flyp_few_shot(cfg, logger, model=model, variables=variables)
+    assert 0.0 <= val_acc <= 1.0 and 0.0 <= test_acc <= 1.0
+
+
+def test_few_shot_driver_two_runs(corpus, tmp_path):
+    cfg = make_cfg(corpus, tmp_path, k=4, epochs=1)
+    logger = get_logger(None)
+    from flyp_tpu.training.few_shot import few_shot_driver
+
+    summary = few_shot_driver(cfg, logger, num_runs=2, model_factory=lambda: tiny_model(1))
+    assert set(summary) == {"Val", "Test", "ValDev", "TestDev"}
+    assert os.path.isfile(os.path.join(cfg.log_dir, "stats_final.txt"))
+
+
+def test_ce_ablation(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, train_dataset="PatchCamelyonTrain", epochs=1)
+    logger = get_logger(None)
+    from flyp_tpu.training.ce_ablation import ce_ablation
+
+    ce_ablation(cfg, logger, model=model, variables=variables, print_every=2)
+    stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
+    assert "Avg OOD Acc" in stats.columns
+
+
+def test_fisher(corpus, tmp_path):
+    model, variables = tiny_model()
+    fisher_path = str(tmp_path / "fisher.pkl")
+    cfg = make_cfg(corpus, tmp_path, train_dataset="PatchCamelyonTrain", epochs=1, fisher=[fisher_path])
+    logger = get_logger(None)
+    from flyp_tpu.training.fisher import compute_fisher
+
+    fisher = compute_fisher(cfg, logger, model=model, variables=variables, max_batches=2)
+    leaves = jax.tree_util.tree_leaves(fisher)
+    assert all(np.all(l >= 0) for l in leaves)
+    assert any(np.any(l > 0) for l in leaves)
+    assert os.path.isfile(fisher_path)
+
+
+def test_linear_probe(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(
+        corpus, tmp_path, train_dataset="PatchCamelyonTrain",
+        eval_datasets=["PatchCamelyonVal"], cache_dir=str(tmp_path / "cache"),
+    )
+    logger = get_logger(None)
+    from flyp_tpu.training.linear_probe import linear_probe
+
+    best = linear_probe(cfg, logger, model=model, variables=variables, num_cs=3)
+    assert 0.0 <= best["acc"] <= 1.0
+    assert best["coef"].shape[1] == 32
+
+
+def test_progress_validation_beam(corpus, tmp_path):
+    model, variables = tiny_model()
+    cfg = make_cfg(
+        corpus, tmp_path, curriculum=True, save=str(tmp_path / "snapshots"),
+        eval_datasets=["PatchCamelyonVal"], epochs=1,
+    )
+    logger = get_logger(None)
+    from flyp_tpu.training.progress import flyp_progress_validation
+
+    beam = flyp_progress_validation(
+        cfg, logger, model=model, variables=variables, beam_size=2, num_rounds=1,
+        select_metric="Avg OOD Acc",
+    )
+    assert len(beam) >= 1
+    assert all(os.path.isfile(p) for p in beam)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from flyp_tpu.training import create_train_state, make_optimizer, warmup_cosine_lr
+    from flyp_tpu.utils.checkpoint import CurriculumCursor, restore_checkpoint, save_checkpoint
+
+    model, variables = tiny_model()
+    opt = make_optimizer(warmup_cosine_lr(1e-3, 2, 10), 0.1)
+    state = create_train_state(variables["params"], opt)
+    cursor = CurriculumCursor(epoch=3, cur_guidance=5, cur_str_times=2, cur_guidance_id=1)
+    path = save_checkpoint(str(tmp_path / "ckpt"), state, cursor)
+
+    state2 = create_train_state(tiny_model(9)[1]["params"], opt)
+    restored, cursor2 = restore_checkpoint(path, state2)
+    assert cursor2 == cursor
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
