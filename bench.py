@@ -1,0 +1,114 @@
+"""Benchmark: ViT-B/16 FLYP contrastive fine-tuning throughput on one chip.
+
+Measures steady-state images/sec for the full jitted train step (dual-tower
+forward, global-batch InfoNCE, AdamW update) in bfloat16, plus MFU from
+XLA's own FLOP estimate.  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md), so the ratio is measured MFU / 0.45 — the driver-set
+north-star MFU target on this hardware.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Peak dense bf16 TFLOP/s per chip by TPU generation.
+PEAK_TFLOPS = {
+    "v5 lite": 197.0,  # v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6 lite": 918.0,  # v6e
+}
+
+
+def peak_flops_for(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, tflops in PEAK_TFLOPS.items():
+        if key in kind:
+            return tflops * 1e12
+    return 197.0e12  # conservative default
+
+
+def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.training.schedules import warmup_cosine_lr
+    from flyp_tpu.training.train_state import create_train_state, make_optimizer
+    from flyp_tpu.training.train_step import make_train_step
+
+    device = jax.devices()[0]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if not on_tpu:
+        batch_size, steps, warmup = 8, 3, 1  # functional check only
+
+    config = MODEL_CONFIGS["ViT-B/16"]
+    model = CLIPModel(config, compute_dtype=compute_dtype)
+    params = init_clip_params(model, 0)
+
+    optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1)
+    state = create_train_state(params, optimizer)
+    step_fn = make_train_step(model, optimizer, donate=True)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3)), compute_dtype)
+    tokens_np = np.zeros((batch_size, 77), dtype=np.int32)
+    tokens_np[:, 0] = 49406
+    lengths = rng.integers(6, 20, batch_size)
+    for i, n in enumerate(lengths):
+        tokens_np[i, 1:n] = rng.integers(1, 49000, n - 1)
+        tokens_np[i, n] = 49407
+    tokens = jnp.asarray(tokens_np)
+
+    # XLA's FLOP estimate for the whole train step (fwd+bwd+update).
+    try:
+        compiled = step_fn.lower(state, images, tokens).compile()
+        cost = compiled.cost_analysis()
+        step_flops = float((cost or {}).get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+
+    # NOTE: on the tunneled 'axon' platform block_until_ready returns at
+    # enqueue time; a host transfer is the only true synchronization.  Time
+    # through a scalar fetch of the last step's loss.
+    for _ in range(warmup):
+        state, metrics = step_fn(state, images, tokens)
+    _ = float(jax.device_get(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, images, tokens)
+    last_loss = float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+
+    step_time = dt / steps
+    images_per_sec = batch_size / step_time
+    mfu = (step_flops / step_time) / peak_flops_for(device) if step_flops else 0.0
+
+    result = {
+        "metric": "images/sec/chip ViT-B/16 contrastive FT",
+        "value": round(images_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(mfu / 0.45, 4) if mfu else 0.0,
+        "extra": {
+            "step_time_s": round(step_time, 4),
+            "batch_size": batch_size,
+            "mfu": round(mfu, 4),
+            "step_tflops": round(step_flops / 1e12, 2),
+            "device": str(getattr(device, "device_kind", device)),
+            "loss": round(last_loss, 4),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    main(batch_size=bs)

@@ -42,14 +42,16 @@ class VisionTransformer(nn.Module):
         dtype = images.dtype
         # Patchify: a strided conv is a reshaping matmul; XLA lowers it to the
         # MXU as [B*grid*grid, patch*patch*3] @ [patch*patch*3, width].
+        # Conv in the activation dtype: XLA accumulates bf16 convs in fp32 on
+        # the MXU, and mixed-dtype preferred_element_type breaks the conv
+        # transpose (cotangent dtype mismatch) under autodiff.
         x = jax.lax.conv_general_dilated(
             images,
             patch_kernel.astype(dtype),
             window_strides=(cfg.patch_size, cfg.patch_size),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        )
         B = x.shape[0]
         x = x.reshape(B, -1, cfg.width)  # [B, grid*grid, width]
 
