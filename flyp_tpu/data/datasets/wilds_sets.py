@@ -144,12 +144,40 @@ class FMOW(VisionDataset):
         return pathlib.Path(self.location) / "fmow_v1.1"
 
     def _load_split(self, split: str):
+        """WILDS split semantics over rgb_metadata.csv: the OOD axis is the
+        *year*, not the raw split column (WILDS fmow_dataset; the same cutoff
+        logic appears in `datacreation_scripts/fmow_csv_creator.py:44-57`):
+        OOD test >= 2016, OOD val 2013-2016, ID splits keep the original
+        train/val/test assignment within pre-2013 years; 'seq' rows drop."""
         meta = pd.read_csv(self._data_dir() / "rgb_metadata.csv")
         meta = meta.reset_index().rename(columns={"index": "img_idx"})
-        sub = meta[meta["split"] == split]
+        meta = meta[meta["split"] != "seq"]
+        years = pd.to_datetime(meta["timestamp"], utc=True, format="mixed").dt.year
+        test_ood = years >= 2016
+        val_ood = (years >= 2013) & ~test_ood
+        ood = test_ood | val_ood
+
+        if split == "train":
+            mask = (meta["split"] == "train") & ~ood
+        elif split == "id_val":
+            mask = (meta["split"] == "val") & ~ood
+        elif split == "id_test":
+            mask = (meta["split"] == "test") & ~ood
+        elif split == "val":
+            mask = val_ood & meta["split"].isin(["val", "test"])
+        elif split == "test":
+            mask = test_ood & meta["split"].isin(["val", "test"])
+        else:
+            raise ValueError(f"unknown fmow split {split!r}")
+
+        sub = meta[mask]
         paths = [str(self._data_dir() / "images" / f"rgb_img_{i}.png") for i in sub["img_idx"]]
         labels = np.asarray([self.classnames.index(c) for c in sub["category"]], dtype=np.int64)
-        regions = sub["region"].to_numpy()
+        regions = (
+            sub["region"].to_numpy()
+            if "region" in sub.columns
+            else sub.get("country_code", pd.Series(["unknown"] * len(sub))).to_numpy()
+        )
         return paths, labels, regions
 
     def populate_train(self):

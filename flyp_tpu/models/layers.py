@@ -15,7 +15,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from flyp_tpu.ops.attention import multi_head_attention
+
+# Matmul output policy: "native" emits outputs in the activation dtype (the
+# MXU still accumulates in fp32 internally; saves fp32->bf16 convert traffic
+# between ops); "fp32" forces fp32 outputs via preferred_element_type.
+_MATMUL_OUT = os.environ.get("FLYP_MATMUL_OUT", "native")
+
+
+def _einsum(spec: str, x: jax.Array, w: jax.Array) -> jax.Array:
+    w = w.astype(x.dtype)
+    if _MATMUL_OUT == "fp32":
+        return jnp.einsum(spec, x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum(spec, x, w)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -71,9 +85,7 @@ class MultiHeadAttention(nn.Module):
         )
         out_bias = self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32)
 
-        qkv = jnp.einsum(
-            "bld,de->ble", x, qkv_kernel.astype(x.dtype), preferred_element_type=jnp.float32
-        ).astype(x.dtype) + qkv_bias.astype(x.dtype)
+        qkv = _einsum("bld,de->ble", x, qkv_kernel) + qkv_bias.astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, L, self.heads, head_dim)
         k = k.reshape(B, L, self.heads, head_dim)
@@ -82,9 +94,7 @@ class MultiHeadAttention(nn.Module):
         o = multi_head_attention(q, k, v, causal=self.causal)
 
         o = o.reshape(B, L, D)
-        return jnp.einsum(
-            "bld,de->ble", o, out_kernel.astype(x.dtype), preferred_element_type=jnp.float32
-        ).astype(x.dtype) + out_bias.astype(x.dtype)
+        return _einsum("bld,de->ble", o, out_kernel) + out_bias.astype(x.dtype)
 
 
 class MLP(nn.Module):
@@ -100,10 +110,8 @@ class MLP(nn.Module):
         proj_kernel = self.param("proj_kernel", nn.initializers.normal(self.width ** -0.5), (hidden, self.width), jnp.float32)
         proj_bias = self.param("proj_bias", nn.initializers.zeros, (self.width,), jnp.float32)
 
-        h = jnp.einsum("bld,dh->blh", x, fc_kernel.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
-        h = quick_gelu(h + fc_bias.astype(x.dtype))
-        out = jnp.einsum("blh,hd->bld", h, proj_kernel.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
-        return out + proj_bias.astype(x.dtype)
+        h = quick_gelu(_einsum("bld,dh->blh", x, fc_kernel) + fc_bias.astype(x.dtype))
+        return _einsum("blh,hd->bld", h, proj_kernel) + proj_bias.astype(x.dtype)
 
 
 class ResidualBlock(nn.Module):

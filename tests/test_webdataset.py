@@ -1,0 +1,103 @@
+"""Tar-shard pipeline tests over synthetic shards."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flyp_tpu.data.transforms import eval_transform
+from flyp_tpu.data.webdataset import WebDatasetLoader, braceexpand, expand_urls, get_dataset_size
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wds")
+    rng = np.random.default_rng(0)
+    sizes = {}
+    for s in range(4):
+        name = f"shard-{s:05d}.tar"
+        with tarfile.open(root / name, "w") as tf:
+            for i in range(6):
+                key = f"{s:05d}{i:04d}"
+                img = Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                for ext, data in (("png", buf.getvalue()), ("txt", f"caption {key}".encode())):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        sizes[name] = 6
+    with open(root / "sizes.json", "w") as f:
+        json.dump(sizes, f)
+    return str(root)
+
+
+def test_braceexpand():
+    assert braceexpand("s-{00..02}.tar") == ["s-00.tar", "s-01.tar", "s-02.tar"]
+    assert braceexpand("{a,b}/{0..1}") == ["a/0", "a/1", "b/0", "b/1"]
+    assert expand_urls("x.tar::y.tar") == ["x.tar", "y.tar"]
+
+
+def test_dataset_size_from_sizes_json(shards):
+    assert get_dataset_size(os.path.join(shards, "shard-{00000..00003}.tar")) == 24
+
+
+def test_loader_batches(shards):
+    loader = WebDatasetLoader(
+        os.path.join(shards, "shard-{00000..00003}.tar"),
+        transform=eval_transform(32),
+        batch_size=8,
+        num_workers=2,
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    assert batches[0]["image"].shape == (8, 32, 32, 3)
+    assert batches[0]["tokens"].shape == (8, 77)
+
+
+def test_loader_epoch_shuffle_deterministic(shards):
+    def tokens_sig(loader):
+        return np.concatenate([b["tokens"].ravel() for b in loader])
+
+    kw = dict(transform=eval_transform(32), batch_size=4, num_workers=1)
+    url = os.path.join(shards, "shard-{00000..00003}.tar")
+    a = WebDatasetLoader(url, **kw)
+    b = WebDatasetLoader(url, **kw)
+    a.set_epoch(0), b.set_epoch(0)
+    np.testing.assert_array_equal(tokens_sig(a), tokens_sig(b))
+    # Some epoch must reorder the 4 shards relative to epoch 0.
+    base = tokens_sig(a)
+    diffs = []
+    for e in (1, 2, 3):
+        b.set_epoch(e)
+        diffs.append(not np.array_equal(base, tokens_sig(b)))
+    assert any(diffs)
+
+
+def test_loader_tolerates_corrupt_shard(shards, tmp_path):
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"this is not a tar file")
+    loader = WebDatasetLoader(
+        [str(bad)] + expand_urls(os.path.join(shards, "shard-{00000..00001}.tar")),
+        transform=eval_transform(32),
+        batch_size=4,
+        num_samples=12,
+        num_workers=1,
+    )
+    batches = list(loader)
+    assert len(batches) == 3  # 12 good samples / 4
+
+
+def test_node_split(shards):
+    url = os.path.join(shards, "shard-{00000..00003}.tar")
+    kw = dict(transform=eval_transform(32), batch_size=2, num_workers=1, process_count=2)
+    n0 = WebDatasetLoader(url, process_index=0, **kw)
+    n1 = WebDatasetLoader(url, process_index=1, **kw)
+    assert len(n0) == len(n1) == 6  # 24/2 processes /2 batch
+    k0 = {tuple(b["tokens"][i]) for b in n0 for i in range(2)}
+    k1 = {tuple(b["tokens"][i]) for b in n1 for i in range(2)}
+    assert not (k0 & k1)  # disjoint across nodes
