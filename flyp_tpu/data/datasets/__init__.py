@@ -11,6 +11,7 @@ from .imagenet import (
     ImageNet,
     ImageNetTrain,
     ImageNetK,
+    ImageNetKShot,
     ImageNetSubsample,
     ImageNetSubsampleValClasses,
     IMAGENET_K_CLASSES,

@@ -111,6 +111,19 @@ class ImageNetSubsampleValClasses(ImageNet):
         return project_logits(logits, self.class_sublist_mask)
 
 
+class ImageNetKShot(ImageNetK):
+    """k-shot ImageNet with k passed at construction (the `ImageNetKShot`
+    name the zero-shot builder's few-shot list expects, `zeroshot.py:26`)."""
+
+    def __init__(self, preprocess=None, *args, k=None, **kwargs):
+        self._k = k
+        super().__init__(preprocess, *args, **kwargs)
+
+    def k(self) -> int:
+        assert self._k is not None, "ImageNetKShot requires k"
+        return self._k
+
+
 def _make_k_class(k: int):
     return type(f"ImageNet{k}", (ImageNetK,), {"k": lambda self, num=k: num})
 

@@ -221,6 +221,30 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     model_path = None
     start_epoch = 0
 
+    # Auto-resume from the latest checkpoint in --save (the reference shipped
+    # this commented out at `flyp_loss.py:318-333`; here it is real, and the
+    # checkpoint carries optimizer state + curriculum cursor).
+    if cfg.save is not None and os.path.isdir(cfg.save):
+        from flyp_tpu.utils.checkpoint import restore_checkpoint
+
+        ckpts = sorted(
+            (int(d.split("_")[-1]), os.path.join(cfg.save, d))
+            for d in os.listdir(cfg.save)
+            if d.startswith("checkpoint_") and d.split("_")[-1].isdigit()
+        )
+        if ckpts:
+            epoch_n, path = ckpts[-1]
+            logger.info(f"Auto-resuming from {path}")
+            host_state = jax.device_get(state)
+            host_state, cursor = restore_checkpoint(path, host_state)
+            state = replicate(mesh, host_state)
+            start_epoch = cursor.epoch + 1
+            cur_guidance = cursor.cur_guidance
+            cur_str_times = cursor.cur_str_times
+            cur_guidance_id = cursor.cur_guidance_id
+            if cfg.curriculum and cur_guidance is not None:
+                ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
+
     ft_iterator = iter(ft_loader)
 
     for epoch in range(start_epoch, cfg.epochs):
@@ -296,6 +320,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             state, metrics = step_fn(state, images, tokens)
 
             loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # Failure detection (SURVEY.md §5): surface divergence at the
+                # step it happens instead of training through NaNs.
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at epoch {epoch} step {i}; "
+                    f"lr={float(metrics['learning_rate']):.3e}"
+                )
             id_flyp_loss_sum += loss_val
 
             if cfg.cluster == "loss":

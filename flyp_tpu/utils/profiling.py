@@ -1,0 +1,77 @@
+"""Profiling and MFU instrumentation (SURVEY.md §5 rebuild item — the
+reference has none; progress bars were its only introspection).
+
+* ``trace(log_dir)``: context manager around ``jax.profiler`` emitting an
+  xplane trace viewable in TensorBoard/XProf.
+* ``StepTimer``: wall-clock step timing with true device synchronization
+  (scalar fetch — ``block_until_ready`` is an enqueue barrier on the
+  tunneled TPU platform).
+* ``mfu(...)``: model FLOPs utilization from an XLA cost analysis and the
+  per-generation peak TFLOP/s table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6 lite": 918.0,
+}
+
+
+def device_peak_flops(device=None) -> float:
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, tflops in PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return tflops * 1e12
+    return 197.0e12
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def compiled_flops(jitted_fn, *args) -> float:
+    """XLA's FLOP estimate for one call of a jitted function."""
+    compiled = jitted_fn.lower(*args).compile()
+    cost = compiled.cost_analysis() or {}
+    return float(cost.get("flops", 0.0))
+
+
+def mfu(step_flops: float, step_time_s: float, device=None) -> float:
+    return (step_flops / step_time_s) / device_peak_flops(device) if step_time_s > 0 else 0.0
+
+
+class StepTimer:
+    """Synchronized step timing: ``timer.sync(scalar)`` fetches a scalar to
+    force completion, then records the interval."""
+
+    def __init__(self):
+        self._last = None
+        self.times: list = []
+
+    def sync(self, scalar) -> float:
+        value = float(jax.device_get(scalar))
+        now = time.perf_counter()
+        if self._last is not None:
+            self.times.append(now - self._last)
+        self._last = now
+        return value
+
+    @property
+    def mean(self) -> Optional[float]:
+        return sum(self.times) / len(self.times) if self.times else None
