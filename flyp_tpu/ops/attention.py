@@ -25,9 +25,10 @@ def _default_impl() -> str:
     choice = os.environ.get(_IMPL_ENV, "auto")
     if choice != "auto":
         return choice
-    # Measured on v5e (batch 256 ViT-B/16 train step): the XLA attention hits
-    # 43.8% MFU vs 36.4% for the per-head Pallas kernel — at 197/77 tokens
-    # XLA's fusion is already strong, so Pallas stays opt-in until it wins.
+    # Measured on v5e (batch 256 ViT-B/16 train step): XLA attention 43.8%
+    # MFU vs 40.8% for the grouped Pallas kernel (36.4% ungrouped) — at
+    # 197/77 tokens XLA's fusion is already strong, so Pallas stays opt-in
+    # until it wins.
     return "xla"
 
 

@@ -46,54 +46,76 @@ def _mask(s: jax.Array, L: int, causal: bool) -> jax.Array:
 
 
 def _fwd_kernel(L: int, causal: bool, scale: float, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jax.nn.softmax(_mask(s, L, causal), axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # Each program owns a [G, Lp, D] group of heads; loop the group so the
+    # per-head matmuls stay MXU-shaped while grid/DMA overhead amortizes.
+    G = q_ref.shape[0]
+    for g in range(G):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jax.nn.softmax(_mask(s, L, causal), axis=-1)
+        o_ref[g] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(L: int, causal: bool, scale: float, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
+    G = q_ref.shape[0]
+    for g in range(G):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jax.nn.softmax(_mask(s, L, causal), axis=-1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jax.nn.softmax(_mask(s, L, causal), axis=-1)
 
-    p_cast = p.astype(v.dtype)
-    dv_ref[0] = jax.lax.dot_general(
-        p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
+        p_cast = p.astype(v.dtype)
+        dv_ref[g] = jax.lax.dot_general(
+            p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # dS = P * (dP - rowsum(P * dP)); the rowsum equals rowsum(dO * O).
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    ds = (ds * scale).astype(q.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dS = P * (dP - rowsum(P * dP)); the rowsum equals rowsum(dO * O).
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
 
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+        dq_ref[g] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[g] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+
+
+def _group_size(bh: int, Lp: int, D: int, dtype) -> int:
+    """Heads per program: amortize grid overhead while keeping the group's
+    q/k/v/o + one [Lp, Lp] score block comfortably inside ~16MB VMEM."""
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    per_head = 4 * Lp * D * itemsize + Lp * Lp * 4
+    # Mosaic double-buffers every input/output block; leave most of the 16MB
+    # VMEM for that pipeline (observed: a 24-head group overflows by ~1MB).
+    budget = 2 * 1024 * 1024
+    g = max(1, budget // max(per_head, 1))
+    g = min(g, 16)
+    while g > 1 and bh % g:
+        g -= 1
+    return g
 
 
 def _flat_call(kernel, n_out, bh, Lp, D, dtype, *args, interpret=False):
-    spec = pl.BlockSpec((1, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    G = _group_size(bh, Lp, D, dtype)
+    spec = pl.BlockSpec((G, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // G,),
         in_specs=[spec] * len(args),
         out_specs=[spec] * n_out if n_out > 1 else spec,
         out_shape=(

@@ -1,0 +1,48 @@
+"""Multi-host input plumbing.
+
+On a multi-host slice each process loads its own slice of the global batch
+(the tar/CSV loaders already shard by ``process_index`` — the
+`wds.split_by_node` equivalent); this module assembles those host-local
+arrays into global jax.Arrays laid out over the mesh, the
+``jax.make_array_from_process_local_data`` pattern from SURVEY.md §2.7.
+
+Single-host meshes (including the virtual CPU test mesh) take the fast
+path through ``jax.device_put``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flyp_tpu.parallel.mesh import DATA_AXIS
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble per-host batch dicts into mesh-sharded global arrays.
+
+    Each host contributes ``local_batch`` rows; globally the leading axis is
+    sharded over the ``data`` mesh axis.  Non-array entries pass through.
+    """
+    out: Dict[str, Any] = {}
+    for key, value in local_batch.items():
+        if not isinstance(value, np.ndarray) or value.dtype == object:
+            out[key] = value
+            continue
+        sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (value.ndim - 1))))
+        if jax.process_count() == 1:
+            out[key] = jax.device_put(value, sharding)
+        else:  # pragma: no cover - needs a real multi-host slice
+            out[key] = jax.make_array_from_process_local_data(sharding, value)
+    return out
