@@ -245,6 +245,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             if cfg.curriculum and cur_guidance is not None:
                 ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
 
+    data_pass = 0
     ft_iterator = iter(ft_loader)
 
     for epoch in range(start_epoch, cfg.epochs):
@@ -312,6 +313,10 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                         if cfg.proportion and cfg.curriculum_epoch:
                             proportion = 1 / cfg.curriculum_epoch * epoch
                     ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, proportion)
+                # Advance the shuffle stream on every pass (torch reshuffles
+                # implicitly per DataLoader iteration; ours is explicit).
+                data_pass += 1
+                ft_loader.set_epoch(data_pass)
                 ft_iterator = iter(ft_loader)
                 batch = next(ft_iterator)
 
