@@ -111,11 +111,13 @@ class DataLoader:
                 yield _collate(batch)
 
 
-def prefetch_to_device(iterator, mesh=None, size: int = 2):
+def prefetch_to_device(iterator, mesh=None, size: int = 2, image_dtype=None):
     """Move batches to device ahead of consumption.
 
     With a mesh, the leading axis of each array is sharded over the ``data``
-    axis; non-array entries (paths) pass through host-side.
+    axis; non-array entries (paths) pass through host-side.  ``image_dtype``
+    (e.g. ``ml_dtypes.bfloat16``) casts float image tensors on the host
+    first — halving H2D bytes for bf16 training.
     """
     import jax
 
@@ -128,6 +130,8 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
+                if image_dtype is not None and np.issubdtype(v.dtype, np.floating):
+                    v = v.astype(image_dtype)
                 out[k] = jax.device_put(v, sharding) if mesh is not None else jax.device_put(v)
             else:
                 out[k] = v

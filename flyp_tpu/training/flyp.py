@@ -185,6 +185,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
     ori_proportion = 0.1 if cfg.proportion else None
 
+    import ml_dtypes
+
+    from flyp_tpu.data.loader import prefetch_to_device
+
+    image_dtype = ml_dtypes.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
     def load_train_loader(epoch, guidance, str_times, proportion):
         if guidance is not None:
             logger.info(f"loading image guidance = {guidance}, loop times {str_times}")
@@ -194,6 +200,11 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             guidance=guidance, list_selection=list_classes, ori_proportion=proportion,
             return_img_id=(cfg.cluster == "loss"),
         )
+
+    def device_iter(loader):
+        # Host->device prefetch: batches are cast (bf16 halves H2D bytes),
+        # sharded over the data axis, and staged ahead of the step.
+        return iter(prefetch_to_device(loader, mesh, size=2, image_dtype=image_dtype))
 
     ft_loader = load_train_loader(0, cur_guidance, cur_str_times, ori_proportion)
     num_batches = len(ft_loader)
@@ -246,7 +257,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
 
     data_pass = 0
-    ft_iterator = iter(ft_loader)
+    ft_iterator = device_iter(ft_loader)
 
     for epoch in range(start_epoch, cfg.epochs):
         # curriculum_epoch rollover to guidance-100 training (`flyp_loss.py:390-406`).
@@ -267,7 +278,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 cur_guidance_id = list_guidance.index(100)
                 cur_str_times = 1
                 ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, None)
-                ft_iterator = iter(ft_loader)
+                ft_iterator = device_iter(ft_loader)
 
         logger.info(f"Epoch : {epoch}")
         epoch_stats = {"Epoch": epoch, "epoch": epoch}
@@ -317,12 +328,10 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 # implicitly per DataLoader iteration; ours is explicit).
                 data_pass += 1
                 ft_loader.set_epoch(data_pass)
-                ft_iterator = iter(ft_loader)
+                ft_iterator = device_iter(ft_loader)
                 batch = next(ft_iterator)
 
-            images = jax.device_put(jnp.asarray(batch["image"]), batch_shard)
-            tokens = jax.device_put(jnp.asarray(batch["tokens"]), batch_shard)
-            state, metrics = step_fn(state, images, tokens)
+            state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
             loss_val = float(metrics["loss"])
             if not np.isfinite(loss_val):
