@@ -18,6 +18,31 @@ from flyp_tpu.models.clip import CLIPModel
 from flyp_tpu.models.head import ClassificationHead
 
 
+_JIT_CACHE: dict = {}
+
+
+def _jitted_fns(model: CLIPModel, normalize_features: bool):
+    """One jitted (logits, feats) pair per (model identity, flag): the
+    trainer builds a fresh Classifier every epoch (new head values, same
+    program) and must reuse the compiled executable instead of re-tracing."""
+    key = (id(model), normalize_features)
+    if key not in _JIT_CACHE:
+
+        def logits_fn(variables, head, images):
+            feats = model.apply(variables, images, method="encode_image")
+            if normalize_features:
+                # ImageClassifier_Norm re-normalizes before the head
+                # (`modeling.py:107-134`); the head may normalize again.
+                feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            return head(feats)
+
+        def feats_fn(variables, images):
+            return model.apply(variables, images, method="encode_image")
+
+        _JIT_CACHE[key] = (jax.jit(logits_fn), jax.jit(feats_fn))
+    return _JIT_CACHE[key]
+
+
 class Classifier:
     def __init__(
         self,
@@ -32,21 +57,7 @@ class Classifier:
         self.head = head
         self.batch_size = batch_size
         self.normalize_features = normalize_features
-
-        def logits_fn(variables, head, images):
-            feats = model.apply(variables, images, method="encode_image")
-            if normalize_features:
-                # ImageClassifier_Norm re-normalizes before the head
-                # (`modeling.py:107-134`); the head may normalize again.
-                feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-            return head(feats)
-
-        self._logits_fn = jax.jit(logits_fn)
-
-        def feats_fn(variables, images):
-            return model.apply(variables, images, method="encode_image")
-
-        self._feats_fn = jax.jit(feats_fn)
+        self._logits_fn, self._feats_fn = _jitted_fns(model, normalize_features)
 
     def replace_head(self, head: ClassificationHead) -> "Classifier":
         return Classifier(self.model, self.variables, head, self.batch_size, self.normalize_features)

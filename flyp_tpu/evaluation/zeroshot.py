@@ -24,6 +24,18 @@ from flyp_tpu.models.head import ClassificationHead
 from flyp_tpu.tokenizer import tokenize
 
 
+_ENCODE_CACHE: dict = {}
+
+
+def _text_encode_fn(model: CLIPModel):
+    """Cached jitted text encoder: the head is rebuilt every epoch with new
+    params but the same program — reuse the compiled executable."""
+    key = id(model)
+    if key not in _ENCODE_CACHE:
+        _ENCODE_CACHE[key] = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
+    return _ENCODE_CACHE[key]
+
+
 def class_embeddings(
     model: CLIPModel,
     variables: dict,
@@ -41,7 +53,7 @@ def class_embeddings(
     if pad:
         tokens = np.concatenate([tokens, np.tile(tokens[:1], (pad, 1))], axis=0)
 
-    encode = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
+    encode = _text_encode_fn(model)
     chunks = []
     for start in range(0, tokens.shape[0], encode_batch):
         chunks.append(np.asarray(encode(variables, jnp.asarray(tokens[start : start + encode_batch]))))
