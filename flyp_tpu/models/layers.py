@@ -86,14 +86,23 @@ class MultiHeadAttention(nn.Module):
         out_bias = self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32)
 
         qkv = _einsum("bld,de->ble", x, qkv_kernel) + qkv_bias.astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, L, self.heads, head_dim)
-        k = k.reshape(B, L, self.heads, head_dim)
-        v = v.reshape(B, L, self.heads, head_dim)
 
-        o = multi_head_attention(q, k, v, causal=self.causal)
+        from flyp_tpu.ops.attention import _default_impl
 
-        o = o.reshape(B, L, D)
+        if _default_impl() == "pallas_qkv":
+            # Wide-boundary Pallas kernel: heads are sliced on-chip; the
+            # split/reshape chain never materializes in HBM.
+            from flyp_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+            o = fused_qkv_attention(qkv, self.heads, self.causal, False)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, L, self.heads, head_dim)
+            k = k.reshape(B, L, self.heads, head_dim)
+            v = v.reshape(B, L, self.heads, head_dim)
+            o = multi_head_attention(q, k, v, causal=self.causal)
+            o = o.reshape(B, L, D)
+
         return _einsum("bld,de->ble", o, out_kernel) + out_bias.astype(x.dtype)
 
 

@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_IMPL_ENV = "FLYP_ATTENTION_IMPL"  # "xla" | "pallas" | "auto" (default)
+_IMPL_ENV = "FLYP_ATTENTION_IMPL"  # "xla" | "pallas" | "pallas_qkv" | "auto"
 
 
 @functools.lru_cache()
@@ -25,10 +25,15 @@ def _default_impl() -> str:
     choice = os.environ.get(_IMPL_ENV, "auto")
     if choice != "auto":
         return choice
-    # Measured on v5e (batch 256 ViT-B/16 train step): XLA attention 43.8%
-    # MFU vs 40.8% for the grouped Pallas kernel (36.4% ungrouped) — at
-    # 197/77 tokens XLA's fusion is already strong, so Pallas stays opt-in
-    # until it wins.
+    # Measured on v5e (batch 256 ViT-B/16 train step, docs/BENCHMARKS.md):
+    # the wide-boundary fused-QKV Pallas kernel hits 55.9% MFU vs XLA's
+    # 43.8% (the narrow per-head kernel loses at 40.8% — its custom-vjp
+    # boundary forces the head split/reshape chain to materialize in HBM).
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            return "pallas_qkv"
+    except Exception:  # pragma: no cover
+        pass
     return "xla"
 
 
