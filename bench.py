@@ -74,6 +74,20 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     except Exception:
         step_flops = 0.0
 
+    # Pallas custom calls are opaque to XLA's cost analysis: when the fused
+    # attention kernel is active, add its analytic FLOPs (QK^T + PV, fwd
+    # 2 matmuls + bwd 4, padded sequence length).
+    from flyp_tpu.ops.attention import _default_impl
+
+    if step_flops and _default_impl().startswith("pallas"):
+        def _attn_flops(L, H, layers, pad):
+            lp = ((L + pad - 1) // pad) * pad
+            per_mm = batch_size * H * lp * lp * 64 * 2
+            return layers * (2 + 4) * per_mm
+
+        step_flops += _attn_flops(197, config.vision.width // 64, config.vision.layers, 16)
+        step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
+
     # NOTE: on the tunneled 'axon' platform block_until_ready returns at
     # enqueue time; a host transfer is the only true synchronization.  Time
     # through a scalar fetch of the last step's loss.
