@@ -91,6 +91,7 @@ class ExperimentConfig:
     compute_dtype: str = "bfloat16"
     remat: bool = False
     log_dir: Optional[str] = None
+    data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" (tf.data C++ decode)
 
     def run_key(self) -> str:
         """The `_BS{bs}_WD{wd}_LR{lr}_run{n}` naming rule (`main.py:23-27`)."""
@@ -157,6 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--data_backend", choices=["threads", "tfdata"], default="threads")
     return p
 
 
