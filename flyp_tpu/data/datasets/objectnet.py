@@ -10,7 +10,7 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
-from flyp_tpu.data.datasets.base import ImageFolderDataset, VisionDataset, scan_image_folder
+from flyp_tpu.data.datasets.base import ImageFolderDataset, scan_image_folder
 from flyp_tpu.data.datasets.imagenet import ImageNet
 
 _METADATA = Path(__file__).parent.parent / "metadata" / "objectnet"

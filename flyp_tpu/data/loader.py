@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import numpy as np
 

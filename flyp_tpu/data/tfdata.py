@@ -15,7 +15,7 @@ TensorFlow is used host-side only — no TF ops enter the jitted step.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

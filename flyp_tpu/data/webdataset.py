@@ -30,7 +30,7 @@ import queue
 import re
 import tarfile
 import threading
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, List, Optional
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,6 @@ single XLA executable per image size.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ handful of text-tower launches instead of |classes| Python iterations.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

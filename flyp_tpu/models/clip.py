@@ -9,7 +9,7 @@ embed into a shared space, features are L2-normalized, and the learned
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ Layout changes performed:
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

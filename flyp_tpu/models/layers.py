@@ -9,7 +9,6 @@ land on the MXU; accumulation is float32 via ``preferred_element_type``.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ sublane tile and masks padded key columns to -inf.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

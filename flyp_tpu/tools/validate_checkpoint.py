@@ -16,8 +16,6 @@ implementation when it is mounted.
 
 from __future__ import annotations
 
-import argparse
-
 import numpy as np
 
 

@@ -11,7 +11,6 @@ upstream file has a latent NameError (`ce_ablation.py:32` uses an unimported
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,7 @@ import numpy as np
 import pandas as pd
 
 from flyp_tpu.data.registry import get_classnames_for, get_dataset_class
-from flyp_tpu.data.transforms import eval_transform, train_transform
+from flyp_tpu.data.transforms import train_transform
 from flyp_tpu.evaluation.classifier import Classifier
 from flyp_tpu.evaluation.evaluator import evaluate
 from flyp_tpu.models.clip import l2_normalize

@@ -19,10 +19,8 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 

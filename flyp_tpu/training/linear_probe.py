@@ -13,7 +13,7 @@ from __future__ import annotations
 import copy
 import os
 import pickle
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import copy
 import os
 import pickle
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

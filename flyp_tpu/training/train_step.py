@@ -14,8 +14,7 @@ scheduler step (folded into the injected schedule).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import optax
 
 from flyp_tpu.models.clip import CLIPModel
 from flyp_tpu.ops.losses import clip_loss
-from flyp_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
+from flyp_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from flyp_tpu.training.train_state import TrainState
 
 

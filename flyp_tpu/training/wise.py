@@ -8,7 +8,7 @@ parameter pytrees, uniformly or Fisher-weighted (Wortsman et al., 2022)."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
