@@ -225,8 +225,26 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
     optimizer = make_optimizer(schedule, cfg.wd)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
-    state = replicate(mesh, state)
-    step_fn = make_train_step(model, optimizer, mesh=mesh)
+    use_tp = cfg.mesh_model > 1
+    if use_tp:
+        # Tensor-parallel over the model axis: params/moments carry Megatron
+        # shardings and the jitted step infers TP x DP from its inputs.
+        from flyp_tpu.parallel.tp import shard_train_state
+
+        # The Pallas attention custom call is opaque to GSPMD partitioning;
+        # TP runs use the XLA attention unless the user overrides.
+        if os.environ.get("FLYP_ATTENTION_IMPL") is None:
+            from flyp_tpu.ops.attention import _default_impl
+
+            os.environ["FLYP_ATTENTION_IMPL"] = "xla"
+            _default_impl.cache_clear()
+            logger.info("TP run: attention impl pinned to 'xla' (Pallas call is not GSPMD-partitionable)")
+
+        state = shard_train_state(mesh, state)
+        step_fn = make_train_step(model, optimizer, mesh=None)
+    else:
+        state = replicate(mesh, state)
+        step_fn = make_train_step(model, optimizer, mesh=mesh)
     batch_shard = batch_sharding(mesh)
 
     explore_rng = np.random.default_rng(cfg.seed)
@@ -252,7 +270,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             logger.info(f"Auto-resuming from {path}")
             host_state = jax.device_get(state)
             host_state, cursor = restore_checkpoint(path, host_state)
-            state = replicate(mesh, host_state)
+            if use_tp:
+                from flyp_tpu.parallel.tp import shard_train_state
+
+                state = shard_train_state(mesh, host_state)
+            else:
+                state = replicate(mesh, host_state)
             start_epoch = cursor.epoch + 1
             cur_guidance = cursor.cur_guidance
             cur_str_times = cursor.cur_str_times
@@ -274,8 +297,15 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 )
                 optimizer = make_optimizer(schedule_r, cfg.wd)
                 params = jax.device_get(state.params)
-                state = replicate(mesh, create_train_state(params, optimizer, state.batch_stats))
-                step_fn = make_train_step(model, optimizer, mesh=mesh)
+                new_state = create_train_state(params, optimizer, state.batch_stats)
+                if use_tp:
+                    from flyp_tpu.parallel.tp import shard_train_state
+
+                    state = shard_train_state(mesh, new_state)
+                    step_fn = make_train_step(model, optimizer, mesh=None)
+                else:
+                    state = replicate(mesh, new_state)
+                    step_fn = make_train_step(model, optimizer, mesh=mesh)
             if cur_guidance != 0 and cur_guidance != 100:
                 logger.info("Restart dataloader")
                 cur_guidance = 100

@@ -89,3 +89,56 @@ def test_tp_train_step_matches_single_device():
     g2 = jax.jit(jax.grad(mean_loss))(shard_params(mesh, params), imgs_s, toks_s)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-6)
+
+
+def test_trainer_with_tp_mesh(tmp_path):
+    """flyp_train end-to-end with --mesh_model 2 (TP x DP)."""
+    import os
+
+    import pandas as pd
+    from PIL import Image
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.training.flyp import flyp_train
+
+    root = tmp_path / "corpus"
+    rng = np.random.default_rng(0)
+    classnames = ["lymph node", "lymph node containing metastatic tumor tissue"]
+    rows = []
+    for ci in range(2):
+        d = root / "patchcamelyon" / "val" / f"class_{ci}"
+        d.mkdir(parents=True)
+        for i in range(8):
+            p = d / f"{i}.png"
+            Image.fromarray(
+                np.full((36, 36, 3), 60 + 120 * ci, np.uint8) + rng.integers(0, 40, (36, 36, 3), dtype=np.uint8)
+            ).save(p)
+            rows.append({
+                "title": f"this is a photo of {classnames[ci]}",
+                "filepath": str(p), "label": ci, "guidance": 100, "img_id": ci * 10 + i,
+            })
+    csv = root / "train.tsv"
+    pd.DataFrame(rows).to_csv(csv, sep="\t", index=False)
+
+    cfg_m = MODEL_CONFIGS["ViT-B/16"]
+    cfg_m = dataclasses.replace(
+        cfg_m,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg_m.vision, image_size=32, patch_size=16, width=64, layers=2, heads=2),
+        text=dataclasses.replace(cfg_m.text, width=64, heads=2, layers=2),  # full 77-token context
+    )
+    model = CLIPModel(cfg_m)
+    variables = {"params": init_clip_params(model, 0)}
+    cfg = ExperimentConfig(
+        train_dataset="PatchCamelyonVal",
+        template="patchcamelyon_template",
+        eval_datasets=["PatchCamelyonVal"],
+        data_location=str(root),
+        ft_data=str(csv),
+        ft_data_test=str(csv),
+        batch_size=8, lr=1e-3, epochs=1, workers=2, debug=True,
+        compute_dtype="float32", log_dir=str(tmp_path / "logs"),
+        mesh_model=2, mesh_data=4,
+    )
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+    assert os.path.isfile(os.path.join(cfg.log_dir, "stats.tsv"))
