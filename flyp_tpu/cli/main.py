@@ -16,7 +16,6 @@ from flyp_tpu.utils.logging import get_logger
 
 def main(cfg=None):
     cfg = cfg or parse_arguments()
-    assert cfg.save is not None or cfg.debug or cfg.test or True
 
     run_key = cfg.run_key()
     exp = cfg.exp_name or "flyp"

@@ -25,10 +25,12 @@ def _collate(samples: list) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
-        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) or hasattr(vals[0], "dtype"):
+        if isinstance(vals[0], (str, bytes)):
+            out[key] = vals  # file paths stay host-side lists
+        elif isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) or hasattr(vals[0], "dtype"):
             out[key] = np.stack(vals)
         else:
-            out[key] = vals  # e.g. file paths
+            out[key] = vals
     return out
 
 
@@ -128,7 +130,7 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2, image_dtype=None):
     def to_device(batch):
         out = {}
         for k, v in batch.items():
-            if isinstance(v, np.ndarray) and v.dtype != object:
+            if isinstance(v, np.ndarray) and v.dtype.kind not in "USO":
                 if image_dtype is not None and np.issubdtype(v.dtype, np.floating):
                     v = v.astype(image_dtype)
                 out[k] = jax.device_put(v, sharding) if mesh is not None else jax.device_put(v)

@@ -17,29 +17,30 @@ from flyp_tpu.models.clip import CLIPModel
 from flyp_tpu.models.head import ClassificationHead
 
 
-_JIT_CACHE: dict = {}
+import functools
 
 
+@functools.lru_cache(maxsize=8)
 def _jitted_fns(model: CLIPModel, normalize_features: bool):
-    """One jitted (logits, feats) pair per (model identity, flag): the
-    trainer builds a fresh Classifier every epoch (new head values, same
-    program) and must reuse the compiled executable instead of re-tracing."""
-    key = (id(model), normalize_features)
-    if key not in _JIT_CACHE:
+    """One jitted (logits, feats) pair per (model config, flag): the trainer
+    builds a fresh Classifier every epoch (new head values, same program)
+    and must reuse the compiled executable instead of re-tracing.  linen
+    modules are frozen dataclasses, so equal configs share an entry and the
+    LRU bound keeps the 50-restart few-shot protocol from pinning every
+    model it ever built."""
 
-        def logits_fn(variables, head, images):
-            feats = model.apply(variables, images, method="encode_image")
-            if normalize_features:
-                # ImageClassifier_Norm re-normalizes before the head
-                # (`modeling.py:107-134`); the head may normalize again.
-                feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-            return head(feats)
+    def logits_fn(variables, head, images):
+        feats = model.apply(variables, images, method="encode_image")
+        if normalize_features:
+            # ImageClassifier_Norm re-normalizes before the head
+            # (`modeling.py:107-134`); the head may normalize again.
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return head(feats)
 
-        def feats_fn(variables, images):
-            return model.apply(variables, images, method="encode_image")
+    def feats_fn(variables, images):
+        return model.apply(variables, images, method="encode_image")
 
-        _JIT_CACHE[key] = (jax.jit(logits_fn), jax.jit(feats_fn))
-    return _JIT_CACHE[key]
+    return jax.jit(logits_fn), jax.jit(feats_fn)
 
 
 class Classifier:

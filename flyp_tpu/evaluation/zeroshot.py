@@ -24,16 +24,15 @@ from flyp_tpu.models.head import ClassificationHead
 from flyp_tpu.tokenizer import tokenize
 
 
-_ENCODE_CACHE: dict = {}
+import functools
 
 
+@functools.lru_cache(maxsize=8)
 def _text_encode_fn(model: CLIPModel):
     """Cached jitted text encoder: the head is rebuilt every epoch with new
-    params but the same program — reuse the compiled executable."""
-    key = id(model)
-    if key not in _ENCODE_CACHE:
-        _ENCODE_CACHE[key] = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
-    return _ENCODE_CACHE[key]
+    params but the same program — reuse the compiled executable (bounded
+    LRU keyed by the frozen module config)."""
+    return jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
 
 
 def class_embeddings(

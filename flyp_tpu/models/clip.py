@@ -47,8 +47,14 @@ class CLIPModel(nn.Module):
             lambda key: jnp.asarray(self.config.logit_scale_init, jnp.float32),
         )
 
-    def encode_image(self, images: jax.Array, normalize: bool = False) -> jax.Array:
-        feats = self.visual(images.astype(self.compute_dtype))
+    def encode_image(self, images: jax.Array, normalize: bool = False, train: bool = False) -> jax.Array:
+        # ``train`` only matters for ResNet towers: torch train-mode
+        # BatchNorm uses batch stats and updates running stats (the
+        # reference fine-tunes with model.train(), `flyp_loss.py:412`).
+        if self.config.vision.is_vit:
+            feats = self.visual(images.astype(self.compute_dtype))
+        else:
+            feats = self.visual(images.astype(self.compute_dtype), train=train)
         return l2_normalize(feats) if normalize else feats
 
     def encode_text(self, tokens: jax.Array, normalize: bool = False) -> jax.Array:
@@ -56,7 +62,7 @@ class CLIPModel(nn.Module):
         return l2_normalize(feats) if normalize else feats
 
     def __call__(
-        self, images: Optional[jax.Array], tokens: Optional[jax.Array]
+        self, images: Optional[jax.Array], tokens: Optional[jax.Array], train: bool = False
     ) -> Any:
         """Dual-tower forward: L2-normalized features + exp(logit_scale).
 
@@ -66,8 +72,8 @@ class CLIPModel(nn.Module):
         if images is None:
             return self.encode_text(tokens)
         if tokens is None:
-            return self.encode_image(images)
-        image_features = self.encode_image(images, normalize=True)
+            return self.encode_image(images, train=train)
+        image_features = self.encode_image(images, normalize=True, train=train)
         text_features = self.encode_text(tokens, normalize=True)
         return image_features, text_features, jnp.exp(self.logit_scale)
 

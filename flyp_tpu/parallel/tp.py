@@ -76,16 +76,6 @@ def shard_train_state(mesh: Mesh, state) -> Any:
 
     params = shard_params(mesh, state.params)
 
-    def shard_like_params(node):
-        # optax state nodes whose pytree matches params (mu, nu).
-        try:
-            jax.tree_util.tree_structure(node)
-        except Exception:
-            return node
-        if jax.tree_util.tree_structure(node) == jax.tree_util.tree_structure(state.params):
-            return shard_params(mesh, node)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), node)
-
     def walk_opt(node):
         if isinstance(node, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(

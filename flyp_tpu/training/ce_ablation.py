@@ -129,6 +129,8 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
 
         id_ce_loss_avg = id_ce_loss_sum / max(num_batches, 1)
         host_vars = {"params": jax.device_get(state.params)}
+        if state.batch_stats is not None:
+            host_vars["batch_stats"] = jax.device_get(state.batch_stats)
 
         head = build_zeroshot_head(cfg, model, host_vars)
         clf = Classifier(model, host_vars, head, batch_size=cfg.batch_size)

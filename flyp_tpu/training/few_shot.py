@@ -134,6 +134,8 @@ def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float
             state, metrics = step_fn(state, images_j, tokens_j)
 
         host_vars = {"params": jax.device_get(state.params)}
+        if state.batch_stats is not None:
+            host_vars["batch_stats"] = jax.device_get(state.batch_stats)
         head = build_zeroshot_head(cfg, model, host_vars)
         clf = Classifier(model, host_vars, head, batch_size=2 * k)
         val_acc, cnt_loss = eval_single_batch(clf, val_dataset, cfg, val_batch)

@@ -158,6 +158,13 @@ def _write_class_stats(epoch_stats: dict, eval_datasets, log_dir: str, epoch: in
     )
 
 
+def _host_variables(state):
+    out = {"params": jax.device_get(state.params)}
+    if state.batch_stats is not None:
+        out["batch_stats"] = jax.device_get(state.batch_stats)
+    return out
+
+
 def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 100):
     """Run FLYP fine-tuning; returns the last checkpoint path (if saving)."""
     log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "flyp", cfg.run_key())
@@ -284,28 +291,25 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
 
     data_pass = 0
+    drestart_done = False
     ft_iterator = device_iter(ft_loader)
 
     for epoch in range(start_epoch, cfg.epochs):
         # curriculum_epoch rollover to guidance-100 training (`flyp_loss.py:390-406`).
         if cfg.curriculum_epoch is not None and epoch >= cfg.curriculum_epoch:
-            if cfg.scheduler == "drestart":
+            if cfg.scheduler == "drestart" and not drestart_done:
+                # Swap only the LR schedule, keeping Adam moments and the
+                # global step — the reference rebuilds the stateless cosine
+                # closure but never touches optimizer state
+                # (`flyp_loss.py:390-395`).
+                drestart_done = True
                 logger.info("Restart scheduler")
                 schedule_r = make_scheduler(
                     "default", cfg.lr, cfg.warmup_length,
                     cfg.epochs - start_epoch - cfg.curriculum_epoch, num_batches, cfg.min_lr,
                 )
                 optimizer = make_optimizer(schedule_r, cfg.wd)
-                params = jax.device_get(state.params)
-                new_state = create_train_state(params, optimizer, state.batch_stats)
-                if use_tp:
-                    from flyp_tpu.parallel.tp import shard_train_state
-
-                    state = shard_train_state(mesh, new_state)
-                    step_fn = make_train_step(model, optimizer, mesh=None)
-                else:
-                    state = replicate(mesh, new_state)
-                    step_fn = make_train_step(model, optimizer, mesh=mesh)
+                step_fn = make_train_step(model, optimizer, mesh=None if use_tp else mesh)
             if cur_guidance != 0 and cur_guidance != 100:
                 logger.info("Restart dataloader")
                 cur_guidance = 100
@@ -349,7 +353,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                                 )
                         else:
                             res_progress, _, last_perform, _ = progress_eval(
-                                cfg, model, {"params": jax.device_get(state.params)}, last_perform, epoch, logger
+                                cfg, model, _host_variables(state), last_perform, epoch, logger
                             )
                             cur_guidance_id, cur_guidance = choose_guidance_by_progress(
                                 res_progress, list_guidance, cfg.explore, explore_rng
@@ -390,11 +394,16 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 pct = 100 * i / num_batches
                 logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {i}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
 
+            if cfg.ma_progress and (num_batches - i) % 100 == 0:
+                # Moving-average progress sampling every 100 batches
+                # (`flyp_loss.py:531-539`).
+                logger.info(f"Running progress evaluation for moving average with i={i}")
+                _, _, _, cur_stats = progress_eval(cfg, model, _host_variables(state), last_perform, epoch, logger)
+                for guid, value in cur_stats.items():
+                    progress_ma.setdefault(guid, []).append(value)
+
         id_flyp_loss_avg = id_flyp_loss_sum / max(num_batches, 1)
-        host_params = jax.device_get(state.params)
-        host_variables = {"params": host_params}
-        if state.batch_stats is not None:
-            host_variables["batch_stats"] = jax.device_get(state.batch_stats)
+        host_variables = _host_variables(state)
 
         # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
         if cfg.save is not None and not cfg.ma_progress:

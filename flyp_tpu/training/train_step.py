@@ -50,7 +50,7 @@ def make_train_step(
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
                 (img_f, txt_f, scale), updated = model.apply(
-                    variables, images, tokens, mutable=["batch_stats"]
+                    variables, images, tokens, train=True, mutable=["batch_stats"]
                 )
                 new_stats = updated["batch_stats"]
             else:

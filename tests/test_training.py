@@ -148,3 +148,33 @@ def test_train_step_sharded_matches_single_device():
         imgs_sn, toks_sn = shard_batch(mesh, (jnp.asarray(imgs_n), jnp.asarray(toks_n)))
         state2, m2 = sharded(state2, imgs_sn, toks_sn)
         np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=5e-4, atol=5e-5)
+
+
+def test_resnet_batch_stats_update():
+    """Train-mode BatchNorm must update running stats through the train step."""
+    from flyp_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+    from flyp_tpu.models.clip import CLIPModel
+
+    cfg = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, width=16, patch_size=None, layers=0, heads=8, resnet_layers=(1, 1, 1, 1)),
+        text=TextConfig(context_length=16, vocab_size=128, width=64, heads=1, layers=1),
+    )
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    tokens = np.zeros((8, 16), dtype=np.int32)
+    tokens[:, 0] = 1
+    tokens[:, 1] = 127
+    tokens = jnp.asarray(tokens)
+
+    variables = model.init(jax.random.key(0), images, tokens)
+    opt = make_optimizer(warmup_cosine_lr(1e-3, 2, 50), weight_decay=0.0)
+    state = create_train_state(variables["params"], opt, variables["batch_stats"])
+    step_fn = make_train_step(model, opt, donate=False)
+
+    state2, _ = step_fn(state, images, tokens)
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    after = jax.tree_util.tree_leaves(state2.batch_stats)
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after))
+    assert changed, "BatchNorm running stats did not update in train mode"
