@@ -173,12 +173,27 @@ class FMOW(VisionDataset):
         sub = meta[mask]
         paths = [str(self._data_dir() / "images" / f"rgb_img_{i}.png") for i in sub["img_idx"]]
         labels = np.asarray([self.classnames.index(c) for c in sub["category"]], dtype=np.int64)
-        regions = (
-            sub["region"].to_numpy()
-            if "region" in sub.columns
-            else sub.get("country_code", pd.Series(["unknown"] * len(sub))).to_numpy()
-        )
+        regions = self._regions_for(sub)
         return paths, labels, regions
+
+    def _regions_for(self, sub: pd.DataFrame) -> np.ndarray:
+        """Region metadata for the worst-region metric.  The WILDS release
+        carries ``country_code`` plus a ``country_code_mapping.csv``
+        (DATA.md) that maps codes to the five evaluation regions; a direct
+        ``region`` column (as in synthetic test trees) wins when present."""
+        if "region" in sub.columns:
+            return sub["region"].to_numpy()
+        mapping_path = self._data_dir() / "country_code_mapping.csv"
+        if "country_code" in sub.columns and mapping_path.exists():
+            mapping_df = pd.read_csv(mapping_path)
+            code_col = next((c for c in mapping_df.columns if "country" in c.lower() or "code" in c.lower()), None)
+            region_col = next((c for c in mapping_df.columns if "region" in c.lower()), None)
+            if code_col and region_col:
+                code_to_region = dict(zip(mapping_df[code_col].astype(str), mapping_df[region_col].astype(str)))
+                return sub["country_code"].astype(str).map(lambda c: code_to_region.get(c, "Other")).to_numpy()
+        if "country_code" in sub.columns:
+            return sub["country_code"].to_numpy()
+        return np.asarray(["unknown"] * len(sub))
 
     def populate_train(self):
         paths, labels, regions = self._load_split("train")

@@ -122,3 +122,29 @@ def test_fmow_worst_region(fmow_tree):
     assert metrics["acc_region:Asia"] == 0.5
     assert metrics["acc_region:Europe"] == 1.0
     assert metrics["acc_worst_region"] == 0.5
+
+
+def test_fmow_country_code_region_mapping(tmp_path):
+    """Real WILDS metadata has country_code, not region; the shipped
+    country_code_mapping.csv routes codes to evaluation regions."""
+    import pandas as pd
+
+    from flyp_tpu.data.datasets.wilds_sets import FMOWOOD
+
+    d = tmp_path / "fmow_v1.1"
+    os.makedirs(d / "images", exist_ok=True)
+    rows = [
+        {"split": "test", "timestamp": "2017-01-01T00:00:00Z", "category": "airport", "country_code": "JPN"},
+        {"split": "test", "timestamp": "2017-02-01T00:00:00Z", "category": "barn", "country_code": "FRA"},
+        {"split": "test", "timestamp": "2017-03-01T00:00:00Z", "category": "port", "country_code": "XXX"},
+    ]
+    pd.DataFrame(rows).to_csv(d / "rgb_metadata.csv", index=False)
+    pd.DataFrame(
+        [{"country_code": "JPN", "region": "Asia"}, {"country_code": "FRA", "region": "Europe"}]
+    ).to_csv(d / "country_code_mapping.csv", index=False)
+    for i in range(3):
+        _img(str(d / "images" / f"rgb_img_{i}.png"), seed=i)
+
+    ds = FMOWOOD(preprocess=eval_transform(32), location=str(tmp_path), batch_size=4, num_workers=1)
+    regions = sorted({s["metadata"] for s in (ds.test_dataset.get(i, np.random.default_rng(0)) for i in range(3))})
+    assert regions == ["Asia", "Europe", "Other"]
