@@ -40,12 +40,19 @@ from flyp_tpu.training.train_state import create_train_state, make_optimizer
 from flyp_tpu.training.train_step import make_train_step
 
 
+#: Full passes over the loader before the balanced-batch scan gives up.  Two
+#: passes see every sample; the slack covers shuffle-dependent partial-batch
+#: drops.  The reference scan (`flyp_loss_few_shot.py:54-79`) had no bound and
+#: would hang (or StopIteration) on a single-class CSV.
+_MAX_SCAN_PASSES = 10
+
+
 def _collect_balanced_contrastive_batch(loader, k: int):
     """Scan until k samples of each of the two caption classes are found
     (`flyp_loss_few_shot.py:54-79`)."""
     imgs0, toks0, imgs1, toks1 = [], [], [], []
     match = None
-    for batch in _cycle(loader):
+    for batch in _cycle(loader, max_passes=_MAX_SCAN_PASSES):
         for i in range(batch["tokens"].shape[0]):
             tok = batch["tokens"][i]
             if match is None:
@@ -66,7 +73,7 @@ def _collect_balanced_label_batch(loader, k: int):
     """k per label from an eval loader (`flyp_loss_few_shot.py:99-126`)."""
     imgs0, lab0, imgs1, lab1 = [], [], [], []
     match = None
-    for batch in _cycle(loader):
+    for batch in _cycle(loader, max_passes=_MAX_SCAN_PASSES):
         for i in range(len(batch["label"])):
             lab = int(batch["label"][i])
             if match is None:
@@ -83,9 +90,14 @@ def _collect_balanced_label_batch(loader, k: int):
     return {"image": np.stack(imgs0 + imgs1), "label": np.asarray(lab0 + lab1, np.int64)}
 
 
-def _cycle(loader):
+def _cycle(loader, max_passes=None):
     epoch = 0
     while True:
+        if max_passes is not None and epoch >= max_passes:
+            raise RuntimeError(
+                f"could not assemble a balanced few-shot batch after {max_passes} passes "
+                "over the loader; the dataset must contain two classes with >= k examples each"
+            )
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
         yield from loader

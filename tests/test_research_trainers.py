@@ -174,3 +174,23 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_few_shot_scan_bounded_on_single_class(corpus, tmp_path):
+    """A one-class CSV must raise instead of cycling the loader forever
+    (regression: the unbounded `_cycle` turned the reference's latent hang
+    into a guaranteed one)."""
+    import pandas as pd
+
+    df = pd.read_csv(corpus["train_csv"], sep="\t")
+    one_class = df[df["label"] == 0]
+    csv = tmp_path / "one_class.tsv"
+    one_class.to_csv(csv, sep="\t", index=False)
+
+    from flyp_tpu.data.csv_data import get_csv_loader
+    from flyp_tpu.training.few_shot import _collect_balanced_contrastive_batch
+
+    cfg = make_cfg(corpus, tmp_path, k=4, ft_data=str(csv))
+    loader = get_csv_loader(cfg, is_train=True, image_size=32)
+    with pytest.raises(RuntimeError, match="balanced few-shot batch"):
+        _collect_balanced_contrastive_batch(loader, k=4)
