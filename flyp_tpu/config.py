@@ -81,6 +81,12 @@ class ExperimentConfig:
     min_lr: float = 0.0
     wandb_group_name: str = "default"
     slurm_job_id: int = -1
+    # cont_finetune class filter (the reference hardcodes the stats path and
+    # thresholds at `flyp_loss.py:294-304`; here they are flags)
+    class_stats_path: Optional[str] = None
+    cont_filter_key: str = "IWildCamOOD"
+    cont_acc_threshold: float = 0.5
+    cont_count_threshold: int = 50
     # runtime fields the reference injects into its Namespace
     device: str = "tpu"
     current_epoch: int = 0
@@ -153,6 +159,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_group_name", type=str, default="default")
     p.add_argument("--guidance", type=int, default=-1)
     p.add_argument("--slurm_job_id", type=int, default=-1)
+    p.add_argument("--class_stats_path", type=str, default=None)
+    p.add_argument("--cont_filter_key", type=str, default=d.cont_filter_key)
+    p.add_argument("--cont_acc_threshold", type=float, default=d.cont_acc_threshold)
+    p.add_argument("--cont_count_threshold", type=int, default=d.cont_count_threshold)
     # TPU-native extras
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)

@@ -158,6 +158,24 @@ def _write_class_stats(epoch_stats: dict, eval_datasets, log_dir: str, epoch: in
     )
 
 
+def _cont_finetune_classes(cfg, logger):
+    """Class filter for ``--cont_finetune`` (`flyp_loss.py:294-304`): read a
+    prior run's ``class_stats{n}.tsv`` and keep the classes whose OOD accuracy
+    stayed at or below ``cont_acc_threshold`` despite at least
+    ``cont_count_threshold`` examples; class 0 is always kept.  The prior
+    checkpoint itself arrives via ``--clip_load`` (the reference hardcodes
+    both paths; here they are flags)."""
+    assert cfg.class_stats_path, "--cont_finetune needs --class_stats_path (a prior run's class_stats{n}.tsv)"
+    df = pd.read_csv(cfg.class_stats_path, sep="\t", index_col=0)
+    acc_col, count_col = cfg.cont_filter_key, f"{cfg.cont_filter_key} Count"
+    picked = df[(df[acc_col] <= cfg.cont_acc_threshold) & (df[count_col] >= cfg.cont_count_threshold)]
+    list_classes = [int(str(ix).replace("Class ", "")) for ix in picked.index]
+    if 0 not in list_classes:
+        list_classes.append(0)
+    logger.info(f"Only continuing finetune ckpt based on {len(list_classes)} classes: {list_classes}")
+    return list_classes
+
+
 def _host_variables(state):
     out = {"params": jax.device_get(state.params)}
     if state.batch_stats is not None:
@@ -179,9 +197,10 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
     logger.info(f"Mesh: {mesh}")
 
-    # cont_finetune restores a prior run's checkpoint (`flyp_loss.py:283-304`
-    # hardcodes author paths; here --clip_load carries the path).
-    list_classes = None
+    # cont_finetune: the prior run's checkpoint is restored via --clip_load
+    # (in build_clip_model), and its per-class stats TSV drives a class
+    # filter on the train loader (`flyp_loss.py:283-304`).
+    list_classes = _cont_finetune_classes(cfg, logger) if cfg.cont_finetune else None
 
     guid = init_guidance_setting(cfg, logger, list_classes=list_classes)
     cur_guidance_id, cur_guidance = guid.cur_guidance_id, guid.cur_guidance

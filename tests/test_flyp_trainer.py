@@ -144,3 +144,59 @@ def test_seq_curri_guid_state_machine():
     assert (gid, guid, times) == (3, 100, 1)
     # out_curri jumps to guidance 100
     assert seq_curri_guid(lg, ctype="out_curri") == (3, 100, 1)
+
+
+def test_cont_finetune_filters_classes(corpus, tmp_path):
+    """Run once to produce class stats, restart with --cont_finetune, and
+    assert the train loader was class-filtered (`flyp_loss.py:283-304`)."""
+    model, variables = tiny_model()
+    first = make_cfg(corpus, tmp_path, log_dir=str(tmp_path / "first"))
+    flyp_train(first, model=model, variables=variables, print_every=2)
+    stats_path = os.path.join(first.log_dir, "class_stats0.tsv")
+    assert os.path.isfile(stats_path)
+
+    # Force a deterministic filter outcome: both real classes fail the acc
+    # gate; a phantom class 2 passes but has no rows. Class 0 is appended
+    # unconditionally, so the train loader keeps exactly the class-0 rows.
+    doctored = tmp_path / "class_stats_doctored.tsv"
+    pd.DataFrame(
+        {"PatchCamelyonVal": [0.9, 0.9, 0.3], "PatchCamelyonVal Count": [100, 100, 100]},
+        index=["Class 0", "Class 1", "Class 2"],
+    ).to_csv(doctored, sep="\t")
+
+    cont = make_cfg(
+        corpus, tmp_path,
+        log_dir=str(tmp_path / "cont"),
+        cont_finetune=True,
+        class_stats_path=str(doctored),
+        cont_filter_key="PatchCamelyonVal",
+        cont_acc_threshold=0.5,
+        cont_count_threshold=50,
+    )
+    model2, variables2 = tiny_model()
+    flyp_train(cont, model=model2, variables=variables2, print_every=2)
+
+    log_text = open(os.path.join(cont.log_dir, "log.log")).read()
+    # Class 2 passes (0.3 <= 0.5, 100 >= 50); classes 0/1 fail on acc but 0
+    # is always appended.
+    assert "based on 2 classes: [2, 0]" in log_text
+    # The 32-row CSV holds 16 class-0 rows -> 2 batches of 8 after the
+    # filter (vs 4 unfiltered).
+    assert "Num batches is 2" in log_text
+
+
+def test_cont_finetune_class_filter_parsing(tmp_path):
+    from flyp_tpu.training.flyp import _cont_finetune_classes
+    from flyp_tpu.utils.logging import get_logger
+
+    stats = tmp_path / "class_stats15.tsv"
+    pd.DataFrame(
+        {"IWildCamOOD": [0.2, 0.6, 0.5, 0.1], "IWildCamOOD Count": [60, 300, 49, 51]},
+        index=[f"Class {i}" for i in (3, 5, 7, 9)],
+    ).to_csv(stats, sep="\t")
+
+    cfg = ExperimentConfig(cont_finetune=True, class_stats_path=str(stats))
+    picked = _cont_finetune_classes(cfg, get_logger(None))
+    # 3 (0.2<=0.5, 60>=50) and 9 (0.1, 51) pass; 5 fails acc; 7 fails count;
+    # 0 is appended since absent.
+    assert picked == [3, 9, 0]
