@@ -98,6 +98,7 @@ class ExperimentConfig:
     remat: bool = False
     log_dir: Optional[str] = None
     data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" (tf.data C++ decode)
+    download_pretrained: bool = False  # fetch SHA-pinned OpenAI weights (needs egress)
 
     def run_key(self) -> str:
         """The `_BS{bs}_WD{wd}_LR{lr}_run{n}` naming rule (`main.py:23-27`)."""
@@ -169,6 +170,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata"], default="threads")
+    p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)
     return p
 
 

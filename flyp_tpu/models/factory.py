@@ -34,6 +34,12 @@ def build_clip_model(
         config = MODEL_CONFIGS[key]
 
     load_path = cfg.clip_load
+    if load_path is None and getattr(cfg, "download_pretrained", False):
+        # Opt-in pretrained acquisition (the reference always downloads,
+        # `clip/clip.py:110`; this environment has no egress by default).
+        from flyp_tpu.models.download import download_model
+
+        load_path = download_model(cfg.model, cfg.cache_dir)
     if load_path and (load_path.endswith(".pt") or load_path.endswith(".bin")):
         state = convert.load_torch_checkpoint(load_path)
         params, batch_stats, config = convert.convert_clip_state_dict(state)

@@ -65,9 +65,15 @@ def main(argv=None):
     from flyp_tpu.config import build_parser
 
     p = build_parser()
-    p.add_argument("--checkpoint", required=True, help="torch .pt checkpoint to validate")
+    p.add_argument("--checkpoint", default=None, help="torch .pt checkpoint to validate")
     p.add_argument("--crosscheck", action="store_true", help="also diff activations vs the mounted reference")
     ns = p.parse_args(argv)
+
+    if ns.checkpoint is None:
+        assert ns.download_pretrained, "pass --checkpoint or --download_pretrained"
+        from flyp_tpu.models.download import download_model
+
+        ns.checkpoint = download_model(ns.model, ns.cache_dir)
 
     from flyp_tpu.config import ExperimentConfig
 

@@ -1,0 +1,69 @@
+"""Downloader unit tests against local file:// fixtures (no egress).
+
+Behavior spec: `/root/reference/clip/clip.py:32-64` — sha256 pinned in the
+URL path, cache reuse on digest match, re-download on drift, hard failure
+on a bad transfer.
+"""
+
+import hashlib
+import os
+
+import pytest
+
+from flyp_tpu.models import download
+
+
+def _fixture(tmp_path, payload: bytes, name="RN50.pt"):
+    sha = hashlib.sha256(payload).hexdigest()
+    src_dir = tmp_path / "srv" / sha
+    src_dir.mkdir(parents=True)
+    src = src_dir / name
+    src.write_bytes(payload)
+    return f"file://{src}", sha, src
+
+
+def test_download_verifies_and_caches(tmp_path):
+    url, sha, src = _fixture(tmp_path, b"model-weights-v1")
+    cache = tmp_path / "cache"
+
+    got = download.download_url(url, cache_dir=str(cache))
+    assert os.path.dirname(got) == str(cache)
+    assert open(got, "rb").read() == b"model-weights-v1"
+
+    # Second call must serve the cache: delete the source, call again.
+    src.unlink()
+    assert download.download_url(url, cache_dir=str(cache)) == got
+    # No stray .part temp files left behind.
+    assert not [f for f in os.listdir(cache) if f.endswith(".part")]
+
+
+def test_download_redownloads_corrupted_cache(tmp_path):
+    url, sha, _ = _fixture(tmp_path, b"good-bytes")
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "RN50.pt").write_bytes(b"corrupted")
+
+    got = download.download_url(url, cache_dir=str(cache))
+    assert open(got, "rb").read() == b"good-bytes"
+
+
+def test_download_rejects_sha_mismatch(tmp_path):
+    url, sha, src = _fixture(tmp_path, b"payload")
+    # Serve different bytes than the sha in the URL path promises.
+    src.write_bytes(b"tampered")
+    with pytest.raises(RuntimeError, match="sha256"):
+        download.download_url(url, cache_dir=str(tmp_path / "cache"))
+    # The failed transfer must not have been installed into the cache.
+    assert not (tmp_path / "cache" / "RN50.pt").exists()
+
+
+def test_download_model_name_routing(tmp_path, monkeypatch):
+    assert set(download.available_models()) == set(download.MODELS)
+    # Slash-spelled names resolve to pinned URLs.
+    url, sha, _ = _fixture(tmp_path, b"vit-b-16-weights", name="ViT-B-16.pt")
+    monkeypatch.setitem(download.MODELS, "ViT-B/16", url)
+    got = download.download_model("ViT-B/16", cache_dir=str(tmp_path / "cache"))
+    assert os.path.basename(got) == "ViT-B-16.pt"
+    # Dash-spelled (open_clip LAION) names have no pinned URL.
+    with pytest.raises(ValueError, match="clip_load"):
+        download.download_model("ViT-B-16")

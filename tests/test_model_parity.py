@@ -105,3 +105,55 @@ def test_sniff_config_matches_reference_shapes():
     assert cfg.vision.image_size == 32
     assert cfg.text.layers == 2
     assert cfg.embed_dim == 64
+
+
+def test_encode_parity_vit_b16_full_size():
+    """Full-size ViT-B/16 (width 768, 12 layers, 224px, vocab 49408): catches
+    conversion/numerics bugs that toy configs cannot (head-count sniffing at
+    width 768, 12-layer drift accumulation)."""
+    ref, ours, variables, cfg = make_pair(
+        vision_layers=12, vision_width=768, patch=16, resolution=224,
+        embed=512, ctx=77, vocab=49408, twidth=512, theads=8, tlayers=12,
+    )
+    assert cfg.vision.heads == 12 and cfg.text.heads == 8
+    imgs, toks = rand_inputs(cfg, batch=2)
+
+    with torch.no_grad():
+        ref_if, ref_tf, ref_scale = ref(torch.from_numpy(imgs), torch.from_numpy(toks))
+        ref_if, ref_tf, ref_scale = ref_if.numpy(), ref_tf.numpy(), float(ref_scale)
+
+    our_if, our_tf, our_scale = ours.apply(
+        variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(toks.astype(np.int32))
+    )
+    # Normalized features; 12 layers of fp32 accumulation warrant a slightly
+    # looser tolerance than the 2-layer toys.
+    np.testing.assert_allclose(np.asarray(our_if), ref_if, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(our_tf), ref_tf, atol=1e-3, rtol=1e-3)
+    assert abs(float(our_scale) - ref_scale) < 1e-3
+
+
+def test_open_clip_layout_checkpoint_conversion(tmp_path):
+    """open_clip training checkpoints wrap the weights as
+    {"state_dict": {"module.<key>": ...}} — the loader must unwrap them."""
+    ref, _, _, cfg = make_pair(2, 64, 16)
+    wrapped = {
+        "epoch": 3,
+        "name": "ViT-tiny-test",
+        "state_dict": {f"module.{k}": v for k, v in ref.state_dict().items()},
+    }
+    path = tmp_path / "open_clip_ckpt.pt"
+    torch.save(wrapped, path)
+
+    state = convert.load_torch_checkpoint(str(path))
+    params, batch_stats, sniffed = convert.convert_clip_state_dict(state)
+    assert sniffed.vision.width == 64 and sniffed.text.layers == 2
+
+    ours = CLIPModel(sniffed)
+    imgs, toks = rand_inputs(sniffed, batch=2)
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(imgs)).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(toks)).numpy()
+    our_img = ours.apply({"params": params}, jnp.asarray(imgs.transpose(0, 2, 3, 1)), method="encode_image")
+    our_txt = ours.apply({"params": params}, jnp.asarray(toks.astype(np.int32)), method="encode_text")
+    np.testing.assert_allclose(np.asarray(our_img), ref_img, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(our_txt), ref_txt, atol=2e-4, rtol=2e-4)
