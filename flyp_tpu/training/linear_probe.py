@@ -2,43 +2,27 @@
 starts (`/root/reference/src/models/linear_lbfgs.py`).
 
 Features are extracted once with the jitted image tower and cached to disk
-(the FeatureDataset pattern of `common.py:81-169`); the sweep selects the
-best C on the evaluation features.  The upstream file hardcodes an author
-home directory for the feature path (`linear_lbfgs.py:120`) — here
-``cfg.cache_dir`` is the root.
+via the shared `flyp_tpu.evaluation.features` utility (the FeatureDataset
+pattern of `common.py:81-169`); the sweep selects the best C on the
+evaluation features.  The upstream file hardcodes an author home directory
+for the feature path (`linear_lbfgs.py:120`) — here ``cfg.cache_dir`` is
+the root.
 """
 
 from __future__ import annotations
 
 import copy
+import json
 import os
-import pickle
-from typing import Optional
 
 import numpy as np
 
 from flyp_tpu.data.registry import get_dataset_class
 from flyp_tpu.data.transforms import eval_transform, train_transform
 from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.evaluation.features import get_features
 from flyp_tpu.models.factory import build_clip_model
 from flyp_tpu.models.head import ClassificationHead
-
-
-def extract_features(classifier: Classifier, loader, cache_path: Optional[str] = None):
-    """Encode a loader's images once; optionally cache (features, labels)."""
-    if cache_path and os.path.exists(cache_path):
-        with open(cache_path, "rb") as f:
-            return pickle.load(f)
-    feats, labels = [], []
-    for batch in loader:
-        feats.append(classifier.features(batch["image"]))
-        labels.append(np.asarray(batch["label"]))
-    out = (np.concatenate(feats), np.concatenate(labels))
-    if cache_path:
-        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        with open(cache_path, "wb") as f:
-            pickle.dump(out, f)
-    return out
 
 
 def log_reg_warm_start_sweep(
@@ -88,22 +72,23 @@ def linear_probe(cfg, logger, model=None, variables=None, num_cs: int = 100) -> 
         batch_size=cfg.batch_size, num_workers=cfg.workers,
     )
     cache = cfg.cache_dir
-    train_cache = os.path.join(cache, cfg.train_dataset, "train", "features.pkl") if cache else None
-    train_features, train_labels = extract_features(clf, train_ds.train_loader, train_cache)
+    train = get_features(clf, train_ds, split="train", cache_dir=cache)
+    train_features, train_labels = train["features"], train["labels"]
 
     eval_name = cfg.eval_datasets[0]
     eval_ds = get_dataset_class(eval_name)(
         preprocess=eval_transform(image_size), location=cfg.data_location,
         batch_size=cfg.batch_size, num_workers=cfg.workers,
     )
-    eval_cache = os.path.join(cache, eval_name, "val", "features.pkl") if cache else None
-    test_features, test_labels = extract_features(clf, eval_ds.test_loader, eval_cache)
+    test = get_features(clf, eval_ds, split="val", cache_dir=cache)
+    test_features, test_labels = test["features"], test["labels"]
 
     best = log_reg_warm_start_sweep(train_features, train_labels, test_features, test_labels, num_cs=num_cs)
     logger.info(f"Best i {best['i']} best c : {best['c']} best acc : {best['acc']}")
 
     if cache:
         os.makedirs(cache, exist_ok=True)
-        with open(os.path.join(cache, f"best_probe_{cfg.run}.pkl"), "wb") as f:
-            pickle.dump(best, f)
+        np.savez(os.path.join(cache, f"best_probe_{cfg.run}.npz"), coef=best["coef"], intercept=best["intercept"])
+        with open(os.path.join(cache, f"best_probe_{cfg.run}.json"), "w") as f:
+            json.dump({"acc": best["acc"], "c": best["c"], "i": best["i"]}, f)
     return best

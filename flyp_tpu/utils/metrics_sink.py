@@ -44,3 +44,7 @@ class MetricsSink:
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
+        if self._wandb is not None:  # pragma: no cover
+            # Upstream shells out to `wandb sync` at exit (`flyp_loss.py:673`);
+            # finish() flushes the run through the client API instead.
+            self._wandb.finish()

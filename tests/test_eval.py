@@ -125,3 +125,45 @@ def test_post_loop_metrics_hook(folder_corpus):
     stats = {}
     process_train_stat(results, stats, None, "Toy")
     assert "ToyF1-macro_all" in stats
+
+
+def test_feature_cache_hit_skips_encoder(tmp_path):
+    """get_features serves a warm cache without touching the encoder
+    (`common.py:96-118` semantics)."""
+    import numpy as np
+
+    from flyp_tpu.evaluation.features import FeatureDataset, get_features
+
+    class StubDataset:
+        def __init__(self):
+            batches = [
+                {"image": np.zeros((2, 4, 4, 3), np.float32), "label": np.array([0, 1]), "path": ["a", "b"]},
+                {"image": np.ones((2, 4, 4, 3), np.float32), "label": np.array([1, 0]), "path": ["c", "d"]},
+            ]
+            self.train_loader = batches
+            self.test_loader = batches[:1]
+
+    class CountingClassifier:
+        calls = 0
+
+        def features(self, images):
+            CountingClassifier.calls += 1
+            return np.asarray(images).reshape(len(images), -1)[:, :8]
+
+    ds, clf = StubDataset(), CountingClassifier()
+    out = get_features(clf, ds, split="train", cache_dir=str(tmp_path), with_paths=True)
+    assert out["features"].shape == (4, 8)
+    assert list(out["labels"]) == [0, 1, 1, 0]
+    assert list(out["paths"]) == ["a", "b", "c", "d"]
+    assert CountingClassifier.calls == 2
+
+    # Warm cache: same result, zero encoder calls.
+    again = get_features(clf, ds, split="train", cache_dir=str(tmp_path))
+    assert CountingClassifier.calls == 2
+    np.testing.assert_array_equal(again["features"], out["features"])
+
+    # Different split misses the cache; FeatureDataset indexes correctly.
+    val = get_features(clf, ds, split="val", cache_dir=str(tmp_path))
+    assert CountingClassifier.calls == 3
+    fd = FeatureDataset(val)
+    assert len(fd) == 2 and fd[1]["labels"] == 1
