@@ -90,10 +90,11 @@ class MultiHeadAttention(nn.Module):
 
         if _default_impl() == "pallas_qkv":
             # Wide-boundary Pallas kernel: heads are sliced on-chip; the
-            # split/reshape chain never materializes in HBM.
+            # split/reshape chain never materializes in HBM.  Interpret mode
+            # on CPU backends lets the same path run in tests.
             from flyp_tpu.ops.fused_qkv_attention import fused_qkv_attention
 
-            o = fused_qkv_attention(qkv, self.heads, self.causal, False)
+            o = fused_qkv_attention(qkv, self.heads, self.causal, jax.default_backend() == "cpu")
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(B, L, self.heads, head_dim)
@@ -122,6 +123,33 @@ class MLP(nn.Module):
         return _einsum("blh,hd->bld", h, proj_kernel) + proj_bias.astype(x.dtype)
 
 
+class _LNParams(nn.Module):
+    """Parameter-holder with LayerNormFp32's exact param tree (used when the
+    fused block kernel consumes the params directly)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """Parameter-holder with MultiHeadAttention's exact param tree."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        D = self.width
+        return (
+            self.param("qkv_kernel", nn.initializers.normal(D ** -0.5), (D, 3 * D), jnp.float32),
+            self.param("qkv_bias", nn.initializers.zeros, (3 * D,), jnp.float32),
+            self.param("out_kernel", nn.initializers.normal(D ** -0.5), (D, D), jnp.float32),
+            self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32),
+        )
+
+
 class ResidualBlock(nn.Module):
     """Pre-LN transformer block (`clip/model.py:169-190`)."""
 
@@ -131,9 +159,24 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = x + MultiHeadAttention(self.width, self.heads, self.causal, name="attn")(
-            LayerNormFp32(name="ln_1")(x)
-        )
+        from flyp_tpu.ops.attention import _default_impl
+
+        if _default_impl() == "pallas_block":
+            # Whole-sub-block fusion: LN1 + QKV + attention + out-proj +
+            # residual in one Pallas kernel; params keep the exact tree
+            # layout of the module path, so checkpoints are interchangeable.
+            from flyp_tpu.ops.attention_block import attention_block
+
+            ln_scale, ln_bias = _LNParams(name="ln_1")(self.width)
+            qkv_k, qkv_b, out_k, out_b = _AttnParams(self.width, name="attn")()
+            x = attention_block(
+                x, ln_scale, ln_bias, qkv_k, qkv_b, out_k, out_b,
+                self.heads, self.causal, jax.default_backend() == "cpu",
+            )
+        else:
+            x = x + MultiHeadAttention(self.width, self.heads, self.causal, name="attn")(
+                LayerNormFp32(name="ln_1")(x)
+            )
         x = x + MLP(self.width, name="mlp")(LayerNormFp32(name="ln_2")(x))
         return x
 

@@ -1,0 +1,374 @@
+"""Fully-fused pre-LN attention block: LN1 + QKV projection + attention +
+out-projection + residual in one Pallas kernel.
+
+Round-1 measurement (docs/BENCHMARKS.md): widening the kernel boundary from
+per-head attention to the raw fused-QKV projection bought 43.8% -> 58.4%
+MFU because the boundary traffic, not the kernel body, dominated.  This
+kernel widens the boundary again: the *only* HBM traffic per layer forward
+is the residual-stream read, the weights, and two [B, L, D] writes (block
+output + the attention output ``o`` saved for the out-projection backward).
+The LayerNorm fp32 island (`/root/reference/clip/model.py:155-161`), the
+[B, L, 3D] QKV projection, and the per-head attention all stay in VMEM.
+
+Backward splits once: the out-projection grads are two clean XLA matmuls
+over the saved ``o``; everything upstream (attention bwd, dqkv, the fused
+dW/db/dscale/dbias accumulations across the sequential grid, and the
+LayerNorm backward) runs in a second Pallas kernel that recomputes
+LN/QKV/attention from ``x`` instead of materializing them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flyp_tpu.ops.fused_qkv_attention import _mask, _pad_len, _row_zero
+
+_EPS = 1e-5
+
+
+def _layer_norm(x32, scale_ref, bias_ref):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (x32 - mean) * rstd
+    y32 = xhat * scale_ref[0, :] + bias_ref[0, :]
+    return xhat, rstd, y32
+
+
+def _fwd_kernel(L, H, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref):
+    D = x_ref.shape[-1]
+    head_dim = D // H
+    x = x_ref[0]
+    _, _, y32 = _layer_norm(x.astype(jnp.float32), g_ref, b_ref)
+    y = y32.astype(x.dtype)
+    qkv = (
+        jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        + bqkv_ref[0, :]
+    ).astype(x.dtype)
+    for h in range(H):
+        q, k, v = _heads_2d(qkv, D, head_dim, h)
+        v = _row_zero(v, L)
+        p = _row_zero(_softmax_p_2d(q, k, L, causal, scale), L)
+        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+    o = o_ref[0]
+    proj = (
+        jax.lax.dot_general(o, wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        + bout_ref[0, :]
+    )
+    out_ref[0] = (x.astype(jnp.float32) + proj).astype(out_ref.dtype)
+
+
+def _bwd_kernel(
+    L, H, causal, scale,
+    x_ref, do_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref,
+    dqkv_scr,
+):
+    D = x_ref.shape[-1]
+    head_dim = D // H
+    sm_scale = head_dim ** -0.5
+    b_idx = pl.program_id(0)
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    x = x_ref[0]
+    xhat, rstd, y32 = _layer_norm(x.astype(jnp.float32), g_ref, b_ref)
+    y = _row_zero(y32, L).astype(x.dtype)
+    qkv = (
+        jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        + bqkv_ref[0, :]
+    ).astype(x.dtype)
+
+    # Attention backward (same math as fused_qkv_attention._bwd_kernel),
+    # assembling the fused dqkv in a VMEM scratch.
+    for h in range(H):
+        q, k, v = _heads_2d(qkv, D, head_dim, h)
+        q = _row_zero(q, L)
+        k = _row_zero(k, L)
+        v = _row_zero(v, L)
+        do = _row_zero(do_ref[0, :, h * head_dim : (h + 1) * head_dim].astype(x.dtype), L)
+
+        p = _row_zero(_softmax_p_2d(q, k, L, causal, sm_scale), L)
+        p_cast = p.astype(x.dtype)
+        dv = jax.lax.dot_general(p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds = (ds * sm_scale).astype(x.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dqkv_scr[:, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_scr.dtype)
+        dqkv_scr[:, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
+        dqkv_scr[:, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(dqkv_scr.dtype)
+    dqkv = dqkv_scr[:]
+
+    # Weight/bias grads accumulate across the sequential batch grid.
+    dwqkv_ref[:] += jax.lax.dot_general(
+        y, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbqkv_ref[0, :] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
+
+    # Back through the projection and the fp32 LayerNorm island.
+    dY = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dY = _row_zero(dY, L)
+    xhat = _row_zero(xhat, L)
+    dg_ref[0, :] += jnp.sum(dY * xhat, axis=0)
+    db_ref[0, :] += jnp.sum(dY, axis=0)
+
+    dxhat = dY * g_ref[0, :]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[0] = _row_zero(dx, L).astype(dx_ref.dtype)
+
+
+def _heads_2d(qkv, D, head_dim, h):
+    q = qkv[:, h * head_dim : (h + 1) * head_dim]
+    k = qkv[:, D + h * head_dim : D + (h + 1) * head_dim]
+    v = qkv[:, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim]
+    return q, k, v
+
+
+def _softmax_p_2d(q, k, L, causal, scale):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    return jax.nn.softmax(_mask(s, L, causal), axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def attention_block(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
+                    heads: int, causal: bool = False, interpret: bool = False):
+    """``x + out_proj(attention(LN(x) @ Wqkv + bqkv))`` as one fused op.
+
+    ``x`` is ``[B, L, D]``; weights are the CLIP block params (fp32 in the
+    tree, cast to the activation dtype for the MXU)."""
+    out, _ = _block_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
+                        heads, causal, interpret)
+    return out
+
+
+def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+    B, L, D = x.shape
+    Lp = _pad_len(L, x.dtype)
+    row = lambda b: (b, 0, 0)
+    const2 = lambda b: (0, 0)
+    specs = [
+        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # x
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
+        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
+        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # bqkv
+        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),         # Wout
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # bout
+    ]
+    out_specs = [
+        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
+    ]
+    head_dim = D // heads
+    out, o = pl.pallas_call(
+        functools.partial(_fwd_kernel, L, heads, causal, head_dim ** -0.5),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), x.dtype),
+            jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        ],
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, D).astype(jnp.float32),
+        ln_bias.reshape(1, D).astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.reshape(1, 3 * D).astype(jnp.float32),
+        wout.astype(x.dtype),
+        bout.reshape(1, D).astype(jnp.float32),
+    )
+    return out, o
+
+
+def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+    if jax.device_count() > 1:
+        out, o = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+    else:
+        out, o = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, o)
+
+
+def _bwd_call(x, do, ln_scale, ln_bias, wqkv, bqkv, heads, causal, interpret):
+    B, L, D = x.shape
+    Lp = _pad_len(L, x.dtype)
+    row = lambda b: (b, 0, 0)
+    const2 = lambda b: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # x
+        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # do
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
+        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
+        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # bqkv
+    ]
+    out_specs = [
+        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
+        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # dWqkv
+        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # dbqkv
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dscale
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dbias
+    ]
+    head_dim = D // heads
+    dx_ln, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, L, heads, causal, head_dim ** -0.5),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), x.dtype),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Lp, 3 * D), x.dtype)],
+        interpret=interpret,
+    )(
+        x,
+        do,
+        ln_scale.reshape(1, D).astype(jnp.float32),
+        ln_bias.reshape(1, D).astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.reshape(1, 3 * D).astype(jnp.float32),
+    )
+    return dx_ln, dwqkv, dbqkv, dscale, dbias
+
+
+def _spec_dim0(arg_shapes):
+    spec = arg_shapes[0].sharding.spec
+    return spec[0] if len(spec) else None
+
+
+def _force_shardings(mesh, b, shapes):
+    """Batch-dim sharding on rank-3 arrays, replication everywhere else."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = []
+    for s in shapes:
+        rank = len(s.shape)
+        spec = P(b, *([None] * (rank - 1))) if rank == 3 else P(*([None] * rank))
+        out.append(NamedSharding(mesh, spec))
+    return tuple(out)
+
+
+# Shardy rules: 'b' ties the rank-3 batch dims (passthrough); every other
+# dim is a unique need-replication factor, so the partitioner gathers any
+# feature/length sharding before the kernel.
+_FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14"
+_BWD_RULE = "b f1 f2, b f3 f4, f5, f6, f7 f8, f9 -> b f10 f11, f12 f13, f14 f15, f16 f17, f18 f19"
+
+
+def _factors(rule):
+    # Shardy requires special-factor indices sorted by first appearance.
+    seen = []
+    for t in rule.replace(",", " ").replace("->", " ").split():
+        if t != "b" and t not in seen:
+            seen.append(t)
+    return tuple(seen)
+
+
+@functools.lru_cache()
+def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
+    """GSPMD-partitionable wrappers (same treatment as fused_qkv_attention):
+    batch sharding passes through; params and length/feature dims replicate;
+    the backward's weight/bias grads are psum-reduced over the batch axis."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    if kind == "fwd":
+        impl = lambda *a: _fwd_call(*a, heads, causal, interpret)
+
+        def partition(mesh, arg_shapes, result_shape):
+            b = _spec_dim0(arg_shapes)
+            args_sh = _force_shardings(mesh, b, arg_shapes)
+            res_sh = _force_shardings(mesh, b, result_shape)
+            return mesh, impl, res_sh, args_sh
+
+        def infer(mesh, arg_shapes, result_shape):
+            b = _spec_dim0(arg_shapes)
+            return _force_shardings(mesh, b, result_shape)
+
+    else:
+
+        def impl(*a):
+            return _bwd_call(*a, heads, causal, interpret)
+
+        def partition(mesh, arg_shapes, result_shape):
+            b = _spec_dim0(arg_shapes)
+            args_sh = _force_shardings(mesh, b, arg_shapes)
+            res_sh = _force_shardings(mesh, b, result_shape)
+
+            def lower(*args):
+                dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(*args, heads, causal, interpret)
+                if b is not None:
+                    dwqkv, dbqkv, dscale, dbias = jax.lax.psum(
+                        (dwqkv, dbqkv, dscale, dbias), axis_name=b
+                    )
+                return dx_ln, dwqkv, dbqkv, dscale, dbias
+
+            return mesh, lower, res_sh, args_sh
+
+        def infer(mesh, arg_shapes, result_shape):
+            b = _spec_dim0(arg_shapes)
+            return _force_shardings(mesh, b, result_shape)
+
+    rule = _FWD_RULE if kind == "fwd" else _BWD_RULE
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=_factors(rule),
+    )
+    return f
+
+
+def _block_bwd(heads, causal, interpret, residuals, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wout, o = residuals
+    B, L, D = x.shape
+
+    # Out-projection backward: plain XLA matmuls over the saved `o`.
+    g32 = g.astype(jnp.float32)
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    do = jnp.einsum("ble,de->bld", g, wout.astype(g.dtype))
+
+    if jax.device_count() > 1:
+        dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned("bwd", heads, causal, interpret)(
+            x, do, ln_scale, ln_bias, wqkv, bqkv
+        )
+    else:
+        dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
+            x, do, ln_scale, ln_bias, wqkv, bqkv, heads, causal, interpret
+        )
+
+    dx = (g.astype(jnp.float32) + dx_ln.astype(jnp.float32)).astype(x.dtype)
+    return (
+        dx,
+        dscale.reshape(ln_scale.shape).astype(ln_scale.dtype),
+        dbias.reshape(ln_bias.shape).astype(ln_bias.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+        dwout.astype(wout.dtype),
+        dbout,  # [D] float32, matching the bout param
+    )
+
+
+attention_block.defvjp(_block_fwd, _block_bwd)

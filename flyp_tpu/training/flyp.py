@@ -257,15 +257,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # shardings and the jitted step infers TP x DP from its inputs.
         from flyp_tpu.parallel.tp import shard_train_state
 
-        # The Pallas attention custom call is opaque to GSPMD partitioning;
-        # TP runs use the XLA attention unless the user overrides.
-        if os.environ.get("FLYP_ATTENTION_IMPL") is None:
-            from flyp_tpu.ops.attention import _default_impl
-
-            os.environ["FLYP_ATTENTION_IMPL"] = "xla"
-            _default_impl.cache_clear()
-            logger.info("TP run: attention impl pinned to 'xla' (Pallas call is not GSPMD-partitionable)")
-
+        # The fused-QKV Pallas kernel is GSPMD-partitionable (its
+        # custom_partitioning rule keeps batch sharding and gathers the
+        # model-axis feature shards), so TP runs keep the flagship kernel.
         state = shard_train_state(mesh, state)
         step_fn = make_train_step(model, optimizer, mesh=None)
     else:

@@ -1,0 +1,159 @@
+"""Fused attention-block kernel vs the unfused module path (interpret mode).
+
+The kernel fuses LN1 + QKV projection + attention + out-projection +
+residual; values AND gradients must match the composition of
+LayerNormFp32 / MultiHeadAttention that defines the reference numerics
+(`/root/reference/clip/model.py:169-190`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flyp_tpu.ops.attention_block import attention_block
+
+
+def _params(D, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32),
+        ln_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+        wqkv=jnp.asarray(rng.standard_normal((D, 3 * D)) * D ** -0.5, jnp.float32),
+        bqkv=jnp.asarray(0.1 * rng.standard_normal(3 * D), jnp.float32),
+        wout=jnp.asarray(rng.standard_normal((D, D)) * D ** -0.5, jnp.float32),
+        bout=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+    )
+
+
+def _reference(x, p, heads, causal):
+    """Unfused math: fp32 LN + fused-QKV attention + out proj + residual."""
+    from flyp_tpu.ops.attention import xla_attention
+
+    B, L, D = x.shape
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["ln_scale"] + p["ln_bias"]).astype(x.dtype)
+    qkv = jnp.einsum("bld,de->ble", y, p["wqkv"].astype(x.dtype)) + p["bqkv"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = D // heads
+    o = xla_attention(
+        q.reshape(B, L, heads, hd), k.reshape(B, L, heads, hd), v.reshape(B, L, heads, hd), causal
+    ).reshape(B, L, D)
+    return x + jnp.einsum("bld,de->ble", o, p["wout"].astype(x.dtype)) + p["bout"].astype(x.dtype)
+
+
+@pytest.mark.parametrize("causal,L", [(False, 13), (True, 13), (False, 16)])
+def test_attention_block_matches_unfused(causal, L):
+    B, D, H = 3, 128, 2
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = _params(D)
+
+    ref = _reference(x, p, H, causal)
+    out = attention_block(x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"], p["wout"], p["bout"], H, causal, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attention_block_grads_match_unfused():
+    B, L, D, H = 2, 13, 128, 2
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = _params(D)
+    keys = sorted(p)
+
+    def loss_fused(x, *args):
+        pp = dict(zip(keys, args))
+        out = attention_block(x, pp["ln_scale"], pp["ln_bias"], pp["wqkv"], pp["bqkv"], pp["wout"], pp["bout"], H, False, True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, *args):
+        pp = dict(zip(keys, args))
+        return jnp.sum(_reference(x, pp, H, False) ** 2)
+
+    args = [p[k] for k in keys]
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(len(args) + 1)))(x, *args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(len(args) + 1)))(x, *args)
+    for name, a, b in zip(["x"] + keys, g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_attention_block_partitioned_over_mesh():
+    """Batch-sharded (and feature-sharded) inputs run the kernel per shard;
+    weight grads are psum-reduced."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B, L, D, H = 8, 13, 128, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = _params(D)
+    keys = sorted(p)
+    args = [p[k] for k in keys]
+
+    def loss(x, *a):
+        pp = dict(zip(keys, a))
+        out = attention_block(x, pp["ln_scale"], pp["ln_bias"], pp["wqkv"], pp["bqkv"], pp["wout"], pp["bout"], H, False, True)
+        return jnp.sum(out ** 2)
+
+    grads_1dev = jax.grad(loss, argnums=tuple(range(len(args) + 1)))(x, *args)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("model", "data"))
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    args_s = [jax.device_put(a, NamedSharding(mesh, P(*([None] * a.ndim)))) for a in args]
+    # TP-style feature sharding on the QKV kernel must be gathered, not fail.
+    args_s[keys.index("wqkv")] = jax.device_put(p["wqkv"], NamedSharding(mesh, P(None, "model")))
+
+    grads_mesh = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))(x_s, *args_s)
+    for name, a, b in zip(["x"] + keys, grads_mesh, grads_1dev):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_model_with_pallas_block_impl_matches_xla(monkeypatch):
+    """Whole tiny-CLIP forward + grads agree between impl=xla and the fused
+    block kernel (param trees are interchangeable by construction)."""
+    import dataclasses
+
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.ops.attention import _default_impl
+    from flyp_tpu.ops.losses import clip_loss
+
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=128, layers=2, heads=2),
+        text=dataclasses.replace(cfg.text, context_length=16, vocab_size=256, width=128, heads=2, layers=2),
+    )
+    model = CLIPModel(cfg)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    tokens = np.zeros((4, 16), dtype=np.int32)
+    tokens[:, 0] = 1
+    tokens[:, 1] = 30
+    tokens[:, 2] = 255
+    tokens = jnp.asarray(tokens)
+
+    def mean_loss(params):
+        img_f, txt_f, scale = model.apply({"params": params}, images, tokens)
+        return jnp.mean(clip_loss(img_f, txt_f, scale))
+
+    monkeypatch.setenv("FLYP_ATTENTION_IMPL", "xla")
+    _default_impl.cache_clear()
+    params = init_clip_params(model, 0)
+    l_ref, g_ref = jax.value_and_grad(mean_loss)(params)
+
+    monkeypatch.setenv("FLYP_ATTENTION_IMPL", "pallas_block")
+    _default_impl.cache_clear()
+    try:
+        params2 = init_clip_params(model, 0)
+        # identical param trees: same init regardless of impl
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        l_fused, g_fused = jax.value_and_grad(mean_loss)(params)
+        np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3)
+    finally:
+        _default_impl.cache_clear()

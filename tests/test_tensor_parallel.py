@@ -142,3 +142,37 @@ def test_trainer_with_tp_mesh(tmp_path):
     )
     flyp_train(cfg, model=model, variables=variables, print_every=2)
     assert os.path.isfile(os.path.join(cfg.log_dir, "stats.tsv"))
+
+
+def test_tp_train_step_with_pallas_qkv_attention(monkeypatch):
+    """TP x DP step with the fused-QKV Pallas kernel (interpret mode): the
+    custom_partitioning rule keeps batch sharding and gathers the model-axis
+    feature shards, so --mesh_model > 1 no longer falls back to XLA."""
+    import os
+
+    from flyp_tpu.ops.attention import _default_impl
+
+    monkeypatch.setenv("FLYP_ATTENTION_IMPL", "pallas_qkv")
+    _default_impl.cache_clear()
+    try:
+        model = tiny_model()
+        params = init_clip_params(model, 0)
+        opt = make_optimizer(warmup_cosine_lr(1e-3, 2, 50), weight_decay=0.1)
+        images, tokens = make_batch()
+
+        state1 = create_train_state(params, opt)
+        step1 = make_train_step(model, opt, donate=False)
+        state1, m1 = step1(state1, images, tokens)
+
+        mesh = create_mesh(MeshConfig(data=4, model=2))
+        state2 = shard_train_state(mesh, create_train_state(params, opt))
+        step2 = make_train_step(model, opt, mesh=None, donate=False)
+        imgs_s, toks_s = shard_batch(mesh, (images, tokens))
+        state2, m2 = step2(state2, imgs_s, toks_s)
+
+        np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m2["per_item_loss"]), np.asarray(m1["per_item_loss"]), rtol=1e-4, atol=1e-5
+        )
+    finally:
+        _default_impl.cache_clear()
