@@ -79,7 +79,8 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     # 2 matmuls + bwd 4, padded sequence length).
     from flyp_tpu.ops.attention import _default_impl
 
-    if step_flops and _default_impl().startswith("pallas"):
+    impl = _default_impl()
+    if step_flops and impl.startswith("pallas"):
         def _attn_flops(L, H, layers, pad):
             lp = ((L + pad - 1) // pad) * pad
             per_mm = batch_size * H * lp * lp * 64 * 2
@@ -87,6 +88,18 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
 
         step_flops += _attn_flops(197, config.vision.width // 64, config.vision.layers, 16)
         step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
+
+    if step_flops and impl == "pallas_block":
+        # The block kernel also hides the QKV projection (fwd + dW + dY; the
+        # backward's recompute matmul is overhead, not counted) and the
+        # out-projection forward (its backward runs in XLA and is counted).
+        def _proj_flops(L, D, layers):
+            qkv = 2 * batch_size * L * D * 3 * D  # one matmul
+            out = 2 * batch_size * L * D * D
+            return layers * (3 * qkv + out)
+
+        step_flops += _proj_flops(197, config.vision.width, config.vision.layers)
+        step_flops += _proj_flops(77, config.text.width, config.text.layers)
 
     # NOTE: on the tunneled 'axon' platform block_until_ready returns at
     # enqueue time; a host transfer is the only true synchronization.  Time

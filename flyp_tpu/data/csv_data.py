@@ -39,7 +39,19 @@ def get_csv_loader(
     # carry labels (`laion.py:559-566`).
     label_key = "label" if (not is_train or cfg.get_labeled_csv) else None
 
-    transform = preprocess or (train_transform(image_size) if is_train else eval_transform(image_size))
+    transform = preprocess
+    if transform is None and getattr(cfg, "data_backend", "") == "native":
+        # C++ decode+transform (GIL-free; see flyp_tpu/data/native_decode.py).
+        from flyp_tpu.data import native_decode
+
+        if native_decode.available():
+            transform = (
+                native_decode.native_train_transform(image_size)
+                if is_train
+                else native_decode.native_eval_transform(image_size)
+            )
+    if transform is None:
+        transform = train_transform(image_size) if is_train else eval_transform(image_size)
     dataset = CsvContrastiveDataset(
         input_filename,
         transform,

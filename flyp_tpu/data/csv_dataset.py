@@ -101,12 +101,14 @@ class CsvContrastiveDataset:
 
     def get(self, idx: int, rng: np.random.Generator) -> dict:
         path = str(self.images[idx])
-        if path.endswith(".npy"):
+        if not path.endswith(".npy") and hasattr(self.transform, "from_path"):
+            # Native C++ decode+transform path (GIL-free end to end).
+            image = self.transform.from_path(path, rng)
+        elif path.endswith(".npy"):
             arr = np.load(path)
-            img = Image.fromarray(arr.astype(np.uint8))
+            image = self.transform(Image.fromarray(arr.astype(np.uint8)), rng)
         else:
-            img = Image.open(path)
-        image = self.transform(img, rng)
+            image = self.transform(Image.open(path), rng)
 
         sample = {
             "image": image.astype(np.float32),

@@ -64,12 +64,17 @@ class ImageFolderDataset:
 
     def get(self, idx: int, rng: np.random.Generator) -> dict:
         path, label = self.samples[idx]
-        if path.endswith(".npy"):
-            img = Image.fromarray(np.load(path).astype(np.uint8))
+        if not path.endswith(".npy") and hasattr(self.transform, "from_path"):
+            # Native C++ decode+transform path (GIL-free end to end).
+            image = self.transform.from_path(path, rng)
         else:
-            img = Image.open(path)
+            if path.endswith(".npy"):
+                img = Image.fromarray(np.load(path).astype(np.uint8))
+            else:
+                img = Image.open(path)
+            image = self.transform(img, rng)
         return {
-            "image": self.transform(img, rng).astype(np.float32),
+            "image": image.astype(np.float32),
             "label": np.int32(label),
             "path": path,
         }

@@ -40,7 +40,7 @@ def _layer_norm(x32, scale_ref, bias_ref):
     return xhat, rstd, y32
 
 
-def _fwd_kernel(L, H, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref):
+def _fwd_kernel(L, H, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref):
     D = x_ref.shape[-1]
     head_dim = D // H
     x = x_ref[0]
@@ -50,6 +50,9 @@ def _fwd_kernel(L, H, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo
         jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + bqkv_ref[0, :]
     ).astype(x.dtype)
+    # Saved for backward: re-deriving qkv there would cost a full extra
+    # matmul per layer (measured: it cancels the fusion win entirely).
+    qkv_ref[0] = qkv
     for h in range(H):
         q, k, v = _heads_2d(qkv, D, head_dim, h)
         v = _row_zero(v, L)
@@ -67,7 +70,7 @@ def _fwd_kernel(L, H, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo
 
 def _bwd_kernel(
     L, H, causal, scale,
-    x_ref, do_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+    x_ref, do_ref, qkv_ref, g_ref, b_ref, wqkv_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref,
     dqkv_scr,
 ):
@@ -86,10 +89,7 @@ def _bwd_kernel(
     x = x_ref[0]
     xhat, rstd, y32 = _layer_norm(x.astype(jnp.float32), g_ref, b_ref)
     y = _row_zero(y32, L).astype(x.dtype)
-    qkv = (
-        jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        + bqkv_ref[0, :]
-    ).astype(x.dtype)
+    qkv = qkv_ref[0]
 
     # Attention backward (same math as fused_qkv_attention._bwd_kernel),
     # assembling the fused dqkv in a VMEM scratch.
@@ -174,9 +174,10 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
     out_specs = [
         pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Lp, 3 * D), row, memory_space=pltpu.VMEM),
     ]
     head_dim = D // heads
-    out, o = pl.pallas_call(
+    out, o, qkv = pl.pallas_call(
         functools.partial(_fwd_kernel, L, heads, causal, head_dim ** -0.5),
         grid=(B,),
         in_specs=specs,
@@ -184,6 +185,7 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
+            jax.ShapeDtypeStruct((B, L, 3 * D), x.dtype),
         ],
         interpret=interpret,
     )(
@@ -195,18 +197,18 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
-    return out, o
+    return out, o, qkv
 
 
 def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
     if jax.device_count() > 1:
-        out, o = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+        out, o, qkv = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
     else:
-        out, o = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, o)
+        out, o, qkv = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
+    return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv)
 
 
-def _bwd_call(x, do, ln_scale, ln_bias, wqkv, bqkv, heads, causal, interpret):
+def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
     B, L, D = x.shape
     Lp = _pad_len(L, x.dtype)
     row = lambda b: (b, 0, 0)
@@ -214,10 +216,10 @@ def _bwd_call(x, do, ln_scale, ln_bias, wqkv, bqkv, heads, causal, interpret):
     in_specs = [
         pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # x
         pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # do
+        pl.BlockSpec((1, Lp, 3 * D), row, memory_space=pltpu.VMEM),    # qkv (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
-        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # bqkv
     ]
     out_specs = [
         pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
@@ -244,10 +246,10 @@ def _bwd_call(x, do, ln_scale, ln_bias, wqkv, bqkv, heads, causal, interpret):
     )(
         x,
         do,
+        qkv,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
         wqkv.astype(x.dtype),
-        bqkv.reshape(1, 3 * D).astype(jnp.float32),
     )
     return dx_ln, dwqkv, dbqkv, dscale, dbias
 
@@ -272,8 +274,8 @@ def _force_shardings(mesh, b, shapes):
 # Shardy rules: 'b' ties the rank-3 batch dims (passthrough); every other
 # dim is a unique need-replication factor, so the partitioner gathers any
 # feature/length sharding before the kernel.
-_FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14"
-_BWD_RULE = "b f1 f2, b f3 f4, f5, f6, f7 f8, f9 -> b f10 f11, f12 f13, f14 f15, f16 f17, f18 f19"
+_FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14, b f15 f16"
+_BWD_RULE = "b f1 f2, b f3 f4, b f5 f6, f7, f8, f9 f10 -> b f11 f12, f13 f14, f15 f16, f17 f18, f19 f20"
 
 
 def _factors(rule):
@@ -341,7 +343,7 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
 
 
 def _block_bwd(heads, causal, interpret, residuals, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wout, o = residuals
+    x, ln_scale, ln_bias, wqkv, wout, o, qkv = residuals
     B, L, D = x.shape
 
     # Out-projection backward: plain XLA matmuls over the saved `o`.
@@ -352,11 +354,11 @@ def _block_bwd(heads, causal, interpret, residuals, g):
 
     if jax.device_count() > 1:
         dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned("bwd", heads, causal, interpret)(
-            x, do, ln_scale, ln_bias, wqkv, bqkv
+            x, do, qkv, ln_scale, ln_bias, wqkv
         )
     else:
         dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
-            x, do, ln_scale, ln_bias, wqkv, bqkv, heads, causal, interpret
+            x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret
         )
 
     dx = (g.astype(jnp.float32) + dx_ln.astype(jnp.float32)).astype(x.dtype)
@@ -365,7 +367,7 @@ def _block_bwd(heads, causal, interpret, residuals, g):
         dscale.reshape(ln_scale.shape).astype(ln_scale.dtype),
         dbias.reshape(ln_bias.shape).astype(ln_bias.dtype),
         dwqkv.astype(wqkv.dtype),
-        dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+        dbqkv.reshape(3 * D),  # [3D] float32, matching the bqkv param
         dwout.astype(wout.dtype),
         dbout,  # [D] float32, matching the bout param
     )

@@ -1,0 +1,104 @@
+"""Native C++ decode/transform library vs the PIL reference pipeline.
+
+The library (native/flyp_native.cc) must decode JPEG/PNG byte-exactly
+against PIL (both sit on libjpeg/libpng) and reproduce the CLIP bicubic
+transforms within one uint8 LSB (Pillow uses 8-bit fixed-point filter
+arithmetic; the native path accumulates in double — max divergence is the
+final rounding step)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flyp_tpu.data import native_decode as nd
+from flyp_tpu.data.transforms import eval_transform, train_transform
+
+pytestmark = pytest.mark.skipif(not nd.available(), reason="native toolchain unavailable")
+
+# one uint8 LSB in CLIP-normalized space (1/255/std_min)
+_LSB = 1.0 / 255.0 / 0.26130258 + 1e-5
+
+
+@pytest.fixture(scope="module")
+def photo():
+    rng = np.random.default_rng(7)
+    # Smooth-ish synthetic image: gradients + noise (JPEG-friendly).
+    y, x = np.mgrid[0:97, 0:143]
+    base = np.stack([(x * 255 / 143), (y * 255 / 97), ((x + y) % 256)], axis=-1)
+    return (base + rng.integers(0, 30, base.shape)).clip(0, 255).astype(np.uint8)
+
+
+def test_png_decode_exact(photo):
+    buf = io.BytesIO()
+    Image.fromarray(photo).save(buf, "PNG")
+    np.testing.assert_array_equal(nd.decode(buf.getvalue()), photo)
+
+
+def test_jpeg_decode_matches_pil(photo):
+    buf = io.BytesIO()
+    Image.fromarray(photo).save(buf, "JPEG", quality=92)
+    ours = nd.decode(buf.getvalue())
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        nd.decode(b"not an image at all")
+
+
+def test_eval_transform_matches_pil(photo):
+    ref = eval_transform(48)(Image.fromarray(photo))
+    ours = nd.eval_transform_from_rgb(photo, 48)
+    assert ours.shape == ref.shape == (48, 48, 3)
+    assert np.abs(ours - ref).max() <= _LSB
+
+
+def test_train_transform_matches_pil(photo):
+    # Same rng stream -> same crop box; pixels within one LSB.
+    r1, r2 = np.random.default_rng(3), np.random.default_rng(3)
+    ref = train_transform(48)(Image.fromarray(photo), r1)
+    ours = nd.train_transform_from_rgb(photo, 48, r2)
+    assert np.abs(ours - ref).max() <= _LSB
+
+
+def test_native_transform_upscale_and_tall_images():
+    rng = np.random.default_rng(1)
+    tall = rng.integers(0, 255, (130, 40, 3), dtype=np.uint8)
+    ref = eval_transform(64)(Image.fromarray(tall))
+    ours = nd.eval_transform_from_rgb(tall, 64)
+    assert np.abs(ours - ref).max() <= _LSB
+
+
+def test_csv_loader_with_native_backend(tmp_path):
+    """End-to-end: data_backend='native' produces batches equivalent to the
+    PIL loader on the same corpus."""
+    import dataclasses
+
+    import pandas as pd
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.data.csv_data import get_csv_loader
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 255, (40, 52, 3), dtype=np.uint8)).save(p)
+        rows.append({"title": f"caption {i}", "filepath": str(p), "label": i % 2, "guidance": 100, "img_id": i})
+    csv = tmp_path / "train.tsv"
+    pd.DataFrame(rows).to_csv(csv, sep="\t", index=False)
+
+    cfg = ExperimentConfig(ft_data=str(csv), ft_data_test=str(csv), batch_size=4, workers=2, seed=0)
+    native_cfg = dataclasses.replace(cfg, data_backend="native")
+
+    # Eval loaders are deterministic and unshuffled: batches must line up.
+    pil_batches = list(get_csv_loader(cfg, is_train=False, image_size=32).test_loader)
+    nat_batches = list(get_csv_loader(native_cfg, is_train=False, image_size=32).test_loader)
+    assert len(pil_batches) == len(nat_batches)
+    for a, b in zip(pil_batches, nat_batches):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        assert np.abs(a["image"] - b["image"]).max() <= _LSB
