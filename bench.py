@@ -90,13 +90,14 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
         step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
 
     if step_flops and impl == "pallas_block":
-        # The block kernel also hides the QKV projection (fwd + dW + dY; the
-        # backward's recompute matmul is overhead, not counted) and the
-        # out-projection forward (its backward runs in XLA and is counted).
+        # The block kernels also hide the QKV projection (fwd + dW + dY),
+        # the out-projection forward, and the MLP forward matmuls (c_fc +
+        # c_proj); their backwards run in XLA and are already counted.
         def _proj_flops(L, D, layers):
             qkv = 2 * batch_size * L * D * 3 * D  # one matmul
             out = 2 * batch_size * L * D * D
-            return layers * (3 * qkv + out)
+            mlp = 2 * (2 * batch_size * L * D * 4 * D)
+            return layers * (3 * qkv + out + mlp)
 
         step_flops += _proj_flops(197, config.vision.width, config.vision.layers)
         step_flops += _proj_flops(77, config.text.width, config.text.layers)

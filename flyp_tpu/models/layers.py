@@ -150,6 +150,23 @@ class _AttnParams(nn.Module):
         )
 
 
+class _MLPParams(nn.Module):
+    """Parameter-holder with MLP's exact param tree."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        D = self.width
+        hidden = 4 * D
+        return (
+            self.param("fc_kernel", nn.initializers.normal((2 * D) ** -0.5), (D, hidden), jnp.float32),
+            self.param("fc_bias", nn.initializers.zeros, (hidden,), jnp.float32),
+            self.param("proj_kernel", nn.initializers.normal(D ** -0.5), (hidden, D), jnp.float32),
+            self.param("proj_bias", nn.initializers.zeros, (D,), jnp.float32),
+        )
+
+
 class ResidualBlock(nn.Module):
     """Pre-LN transformer block (`clip/model.py:169-190`)."""
 
@@ -163,20 +180,26 @@ class ResidualBlock(nn.Module):
 
         if _default_impl() == "pallas_block":
             # Whole-sub-block fusion: LN1 + QKV + attention + out-proj +
-            # residual in one Pallas kernel; params keep the exact tree
-            # layout of the module path, so checkpoints are interchangeable.
+            # residual, then LN2 + c_fc + QuickGELU + c_proj + residual,
+            # each as one Pallas kernel; params keep the exact tree layout
+            # of the module path, so checkpoints are interchangeable.
             from flyp_tpu.ops.attention_block import attention_block
+            from flyp_tpu.ops.mlp_block import mlp_block
 
+            interpret = jax.default_backend() == "cpu"
             ln_scale, ln_bias = _LNParams(name="ln_1")(self.width)
             qkv_k, qkv_b, out_k, out_b = _AttnParams(self.width, name="attn")()
             x = attention_block(
                 x, ln_scale, ln_bias, qkv_k, qkv_b, out_k, out_b,
-                self.heads, self.causal, jax.default_backend() == "cpu",
+                self.heads, self.causal, interpret,
             )
-        else:
-            x = x + MultiHeadAttention(self.width, self.heads, self.causal, name="attn")(
-                LayerNormFp32(name="ln_1")(x)
-            )
+            ln2_scale, ln2_bias = _LNParams(name="ln_2")(self.width)
+            fc_k, fc_b, proj_k, proj_b = _MLPParams(self.width, name="mlp")()
+            return mlp_block(x, ln2_scale, ln2_bias, fc_k, fc_b, proj_k, proj_b, interpret)
+
+        x = x + MultiHeadAttention(self.width, self.heads, self.causal, name="attn")(
+            LayerNormFp32(name="ln_1")(x)
+        )
         x = x + MLP(self.width, name="mlp")(LayerNormFp32(name="ln_2")(x))
         return x
 

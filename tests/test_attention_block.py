@@ -157,3 +157,46 @@ def test_model_with_pallas_block_impl_matches_xla(monkeypatch):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3)
     finally:
         _default_impl.cache_clear()
+
+
+def test_mlp_block_matches_unfused():
+    """mlp_block values + grads vs the module math (LN fp32 + QuickGELU)."""
+    from flyp_tpu.ops.mlp_block import mlp_block
+
+    B, L, D = 2, 13, 128
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = dict(
+        ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32),
+        ln_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+        fc_kernel=jnp.asarray(rng.standard_normal((D, 4 * D)) * (2 * D) ** -0.5, jnp.float32),
+        fc_bias=jnp.asarray(0.1 * rng.standard_normal(4 * D), jnp.float32),
+        proj_kernel=jnp.asarray(rng.standard_normal((4 * D, D)) * D ** -0.5, jnp.float32),
+        proj_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+    )
+    keys = sorted(p)
+
+    def ref(x, *args):
+        pp = dict(zip(keys, args))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * pp["ln_scale"] + pp["ln_bias"]).astype(x.dtype)
+        h = jnp.einsum("bld,dh->blh", y, pp["fc_kernel"]) + pp["fc_bias"]
+        h = h * jax.nn.sigmoid(1.702 * h)
+        return x + jnp.einsum("blh,hd->bld", h, pp["proj_kernel"]) + pp["proj_bias"]
+
+    def fused(x, *args):
+        pp = dict(zip(keys, args))
+        return mlp_block(x, pp["ln_scale"], pp["ln_bias"], pp["fc_kernel"], pp["fc_bias"],
+                         pp["proj_kernel"], pp["proj_bias"], True)
+
+    args = [p[k] for k in keys]
+    np.testing.assert_allclose(
+        np.asarray(fused(x, *args)), np.asarray(ref(x, *args)), atol=2e-5, rtol=2e-5
+    )
+
+    g_f = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2), argnums=tuple(range(len(args) + 1)))(x, *args)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=tuple(range(len(args) + 1)))(x, *args)
+    for name, a, b in zip(["x"] + keys, g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name)
