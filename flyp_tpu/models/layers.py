@@ -178,13 +178,12 @@ class ResidualBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         from flyp_tpu.ops.attention import _default_impl
 
-        if _default_impl() == "pallas_block":
+        impl = _default_impl()
+        if impl in ("pallas_block", "pallas_block_mlp"):
             # Whole-sub-block fusion: LN1 + QKV + attention + out-proj +
-            # residual, then LN2 + c_fc + QuickGELU + c_proj + residual,
-            # each as one Pallas kernel; params keep the exact tree layout
-            # of the module path, so checkpoints are interchangeable.
+            # residual as one Pallas kernel; params keep the exact tree
+            # layout of the module path, so checkpoints are interchangeable.
             from flyp_tpu.ops.attention_block import attention_block
-            from flyp_tpu.ops.mlp_block import mlp_block
 
             interpret = jax.default_backend() == "cpu"
             ln_scale, ln_bias = _LNParams(name="ln_1")(self.width)
@@ -193,9 +192,16 @@ class ResidualBlock(nn.Module):
                 x, ln_scale, ln_bias, qkv_k, qkv_b, out_k, out_b,
                 self.heads, self.causal, interpret,
             )
-            ln2_scale, ln2_bias = _LNParams(name="ln_2")(self.width)
-            fc_k, fc_b, proj_k, proj_b = _MLPParams(self.width, name="mlp")()
-            return mlp_block(x, ln2_scale, ln2_bias, fc_k, fc_b, proj_k, proj_b, interpret)
+            if impl == "pallas_block_mlp":
+                # Fused MLP block: measured SLOWER than XLA's MLP on v5e
+                # (the forced h_pre residual write outweighs the LN/hidden
+                # round trips XLA already fuses) — opt-in for other parts.
+                from flyp_tpu.ops.mlp_block import mlp_block
+
+                ln2_scale, ln2_bias = _LNParams(name="ln_2")(self.width)
+                fc_k, fc_b, proj_k, proj_b = _MLPParams(self.width, name="mlp")()
+                return mlp_block(x, ln2_scale, ln2_bias, fc_k, fc_b, proj_k, proj_b, interpret)
+            return x + MLP(self.width, name="mlp")(LayerNormFp32(name="ln_2")(x))
 
         x = x + MultiHeadAttention(self.width, self.heads, self.causal, name="attn")(
             LayerNormFp32(name="ln_1")(x)

@@ -31,6 +31,23 @@ from flyp_tpu.ops.fused_qkv_attention import _mask, _pad_len, _row_zero
 _EPS = 1e-5
 
 
+def _items_per_program(B: int, L: int) -> int:
+    """Grid programs per kernel = B / G.  Short sequences (the 77-token text
+    tower) leave per-item programs overhead-dominated — batch 4 items per
+    program there; vision (197 tokens) stays at 1."""
+    G = 4 if L <= 96 else 1
+    while G > 1 and B % G:
+        G //= 2
+    return G
+
+
+def _row_zero_flat(x, L, Lp):
+    """Zero padding rows of a [G*Lp, ...] flattened stack (rows r with
+    r mod Lp >= L)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % Lp
+    return jnp.where(rows < L, x, jnp.zeros_like(x))
+
+
 def _layer_norm(x32, scale_ref, bias_ref):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
@@ -40,41 +57,45 @@ def _layer_norm(x32, scale_ref, bias_ref):
     return xhat, rstd, y32
 
 
-def _fwd_kernel(L, H, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref):
+def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref):
     D = x_ref.shape[-1]
+    Lp = x_ref.shape[1]
     head_dim = D // H
-    x = x_ref[0]
-    _, _, y32 = _layer_norm(x.astype(jnp.float32), g_ref, b_ref)
-    y = y32.astype(x.dtype)
-    qkv = (
+    xf = x_ref[:].reshape(G * Lp, D)  # G items flattened: big row-wise matmuls
+    _, _, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
+    y = y32.astype(xf.dtype)
+    qkvf = (
         jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + bqkv_ref[0, :]
-    ).astype(x.dtype)
+    ).astype(xf.dtype)
     # Saved for backward: re-deriving qkv there would cost a full extra
     # matmul per layer (measured: it cancels the fusion win entirely).
-    qkv_ref[0] = qkv
-    for h in range(H):
-        q, k, v = _heads_2d(qkv, D, head_dim, h)
-        v = _row_zero(v, L)
-        p = _row_zero(_softmax_p_2d(q, k, L, causal, scale), L)
-        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
-    o = o_ref[0]
+    qkv_ref[:] = qkvf.reshape(G, Lp, 3 * D)
+    for g in range(G):
+        qkv = qkvf[g * Lp : (g + 1) * Lp]
+        for h in range(H):
+            q, k, v = _heads_2d(qkv, D, head_dim, h)
+            v = _row_zero(v, L)
+            p = _row_zero(_softmax_p_2d(q, k, L, causal, scale), L)
+            o_ref[g, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
+                p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+    of = o_ref[:].reshape(G * Lp, D)
     proj = (
-        jax.lax.dot_general(o, wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(of, wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + bout_ref[0, :]
     )
-    out_ref[0] = (x.astype(jnp.float32) + proj).astype(out_ref.dtype)
+    out_ref[:] = (xf.astype(jnp.float32) + proj).astype(out_ref.dtype).reshape(G, Lp, D)
 
 
 def _bwd_kernel(
-    L, H, causal, scale,
+    L, H, G, causal, scale,
     x_ref, do_ref, qkv_ref, g_ref, b_ref, wqkv_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref,
     dqkv_scr,
 ):
     D = x_ref.shape[-1]
+    Lp = x_ref.shape[1]
     head_dim = D // H
     sm_scale = head_dim ** -0.5
     b_idx = pl.program_id(0)
@@ -86,31 +107,35 @@ def _bwd_kernel(
         dg_ref[:] = jnp.zeros_like(dg_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    x = x_ref[0]
-    xhat, rstd, y32 = _layer_norm(x.astype(jnp.float32), g_ref, b_ref)
-    y = _row_zero(y32, L).astype(x.dtype)
-    qkv = qkv_ref[0]
+    xf = x_ref[:].reshape(G * Lp, D)
+    xhat, rstd, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
+    y = _row_zero_flat(y32, L, Lp).astype(xf.dtype)
 
     # Attention backward (same math as fused_qkv_attention._bwd_kernel),
-    # assembling the fused dqkv in a VMEM scratch.
-    for h in range(H):
-        q, k, v = _heads_2d(qkv, D, head_dim, h)
-        q = _row_zero(q, L)
-        k = _row_zero(k, L)
-        v = _row_zero(v, L)
-        do = _row_zero(do_ref[0, :, h * head_dim : (h + 1) * head_dim].astype(x.dtype), L)
+    # assembling the fused dqkv for all G items in a VMEM scratch.
+    for g in range(G):
+        qkv = qkv_ref[g]
+        row0 = g * Lp
+        for h in range(H):
+            q, k, v = _heads_2d(qkv, D, head_dim, h)
+            q = _row_zero(q, L)
+            k = _row_zero(k, L)
+            v = _row_zero(v, L)
+            do = _row_zero(do_ref[g, :, h * head_dim : (h + 1) * head_dim].astype(xf.dtype), L)
 
-        p = _row_zero(_softmax_p_2d(q, k, L, causal, sm_scale), L)
-        p_cast = p.astype(x.dtype)
-        dv = jax.lax.dot_general(p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-        ds = (ds * sm_scale).astype(x.dtype)
-        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dqkv_scr[:, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_scr.dtype)
-        dqkv_scr[:, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
-        dqkv_scr[:, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(dqkv_scr.dtype)
+            p = _row_zero(_softmax_p_2d(q, k, L, causal, sm_scale), L)
+            p_cast = p.astype(xf.dtype)
+            dv = jax.lax.dot_general(p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+            ds = (ds * sm_scale).astype(xf.dtype)
+            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dqkv_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_scr.dtype)
+            dqkv_scr[row0 : row0 + Lp, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
+            dqkv_scr[row0 : row0 + Lp, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(
+                dqkv_scr.dtype
+            )
     dqkv = dqkv_scr[:]
 
     # Weight/bias grads accumulate across the sequential batch grid.
@@ -121,8 +146,8 @@ def _bwd_kernel(
 
     # Back through the projection and the fp32 LayerNorm island.
     dY = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    dY = _row_zero(dY, L)
-    xhat = _row_zero(xhat, L)
+    dY = _row_zero_flat(dY, L, Lp)
+    xhat = _row_zero_flat(xhat, L, Lp)
     dg_ref[0, :] += jnp.sum(dY * xhat, axis=0)
     db_ref[0, :] += jnp.sum(dY, axis=0)
 
@@ -130,7 +155,7 @@ def _bwd_kernel(
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = rstd * (dxhat - m1 - xhat * m2)
-    dx_ref[0] = _row_zero(dx, L).astype(dx_ref.dtype)
+    dx_ref[:] = _row_zero_flat(dx, L, Lp).astype(dx_ref.dtype).reshape(G, Lp, D)
 
 
 def _heads_2d(qkv, D, head_dim, h):
@@ -160,10 +185,11 @@ def attention_block(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_
 def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
     B, L, D = x.shape
     Lp = _pad_len(L, x.dtype)
+    G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
     specs = [
-        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # x
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
@@ -172,14 +198,14 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # bout
     ]
     out_specs = [
-        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Lp, 3 * D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),
     ]
     head_dim = D // heads
     out, o, qkv = pl.pallas_call(
-        functools.partial(_fwd_kernel, L, heads, causal, head_dim ** -0.5),
-        grid=(B,),
+        functools.partial(_fwd_kernel, L, heads, G, causal, head_dim ** -0.5),
+        grid=(B // G,),
         in_specs=specs,
         out_specs=out_specs,
         out_shape=[
@@ -211,18 +237,19 @@ def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inte
 def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
     B, L, D = x.shape
     Lp = _pad_len(L, x.dtype)
+    G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
     in_specs = [
-        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # x
-        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # do
-        pl.BlockSpec((1, Lp, 3 * D), row, memory_space=pltpu.VMEM),    # qkv (fwd-saved)
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # do
+        pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),    # qkv (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
     ]
     out_specs = [
-        pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # dWqkv
         pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # dbqkv
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dscale
@@ -230,8 +257,8 @@ def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
     ]
     head_dim = D // heads
     dx_ln, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, L, heads, causal, head_dim ** -0.5),
-        grid=(B,),
+        functools.partial(_bwd_kernel, L, heads, G, causal, head_dim ** -0.5),
+        grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
@@ -241,7 +268,7 @@ def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((Lp, 3 * D), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((G * Lp, 3 * D), x.dtype)],
         interpret=interpret,
     )(
         x,

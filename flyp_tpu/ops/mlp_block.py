@@ -36,24 +36,31 @@ def _ln(x32, scale, bias):
 
 
 def _quick_gelu(x):
-    return x * jax.nn.sigmoid(1.702 * x)
+    # fp32 island: Mosaic rejects the f32-scalar * bf16-vector broadcast,
+    # and the sigmoid is more accurate in fp32 anyway.
+    x32 = x.astype(jnp.float32)
+    return (x32 * jax.nn.sigmoid(1.702 * x32)).astype(x.dtype)
 
 
 def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, hpre_ref):
-    x = x_ref[0]
+    # Every op is row-wise, so the (G, Lp, D) block flattens to one stack of
+    # rows — G items per program share the big matmuls.
+    G, Lp, D = x_ref.shape
+    Hd = w1_ref.shape[1]
+    x = x_ref[:].reshape(G * Lp, D)
     _, _, y32 = _ln(x.astype(jnp.float32), g_ref[0, :], b_ref[0, :])
     y = y32.astype(x.dtype)
     hpre = (
         jax.lax.dot_general(y, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + b1_ref[0, :]
     ).astype(x.dtype)
-    hpre_ref[0] = hpre
+    hpre_ref[:] = hpre.reshape(G, Lp, Hd)
     h = _quick_gelu(hpre)
     proj = (
         jax.lax.dot_general(h, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + b2_ref[0, :]
     )
-    out_ref[0] = (x.astype(jnp.float32) + proj).astype(out_ref.dtype)
+    out_ref[:] = (x.astype(jnp.float32) + proj).astype(out_ref.dtype).reshape(G, Lp, D)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -64,16 +71,19 @@ def mlp_block(x, ln_scale, ln_bias, fc_kernel, fc_bias, proj_kernel, proj_bias, 
 
 
 def _fwd_call(x, ln_scale, ln_bias, w1, b1, w2, b2, interpret):
+    from flyp_tpu.ops.attention_block import _items_per_program
+
     B, L, D = x.shape
     Hd = w1.shape[1]
     Lp = _pad_len(L, x.dtype)
+    G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
     out, hpre = pl.pallas_call(
         _fwd_kernel,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, Hd), const2, memory_space=pltpu.VMEM),
@@ -82,8 +92,8 @@ def _fwd_call(x, ln_scale, ln_bias, w1, b1, w2, b2, interpret):
             pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lp, D), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, Hd), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lp, Hd), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
