@@ -89,14 +89,16 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
         step_flops += _attn_flops(197, config.vision.width // 64, config.vision.layers, 16)
         step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
 
-    if step_flops and impl == "pallas_block":
-        # The block kernels also hide the QKV projection (fwd + dW + dY),
-        # the out-projection forward, and the MLP forward matmuls (c_fc +
-        # c_proj); their backwards run in XLA and are already counted.
+    if step_flops and impl.startswith("pallas_block"):
+        # The block kernels also hide the QKV projection (fwd + dW + dY)
+        # and the out-projection forward; with pallas_block_mlp, the MLP
+        # forward matmuls too.  Their backwards run in XLA and are counted.
+        with_mlp = impl == "pallas_block_mlp"
+
         def _proj_flops(L, D, layers):
             qkv = 2 * batch_size * L * D * 3 * D  # one matmul
             out = 2 * batch_size * L * D * D
-            mlp = 2 * (2 * batch_size * L * D * 4 * D)
+            mlp = 2 * (2 * batch_size * L * D * 4 * D) if with_mlp else 0
             return layers * (3 * qkv + out + mlp)
 
         step_flops += _proj_flops(197, config.vision.width, config.vision.layers)

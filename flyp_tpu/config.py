@@ -97,7 +97,7 @@ class ExperimentConfig:
     compute_dtype: str = "bfloat16"
     remat: bool = False
     log_dir: Optional[str] = None
-    data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" (tf.data) | "native" (C++ decode lib)
+    data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" | "native" (C++ lib) | "grain"
     download_pretrained: bool = False  # fetch SHA-pinned OpenAI weights (needs egress)
 
     def run_key(self) -> str:
@@ -169,7 +169,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
-    p.add_argument("--data_backend", choices=["threads", "tfdata", "native"], default="threads")
+    p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")
     p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)
     return p
 

@@ -1,0 +1,140 @@
+"""Grain pipeline variant of the CSV contrastive loader.
+
+Third host-input backend next to the thread pool (``loader.py``) and
+tf.data (``tfdata.py``): Google's Grain gives deterministic, checkpointable
+multiprocess input on TPU hosts — the closest analogue to the reference's
+torch ``DataLoader(num_workers=...)`` worker processes
+(`/root/reference/src/datasets/laion.py:586-594`), but with reproducible
+per-record RNG and `ShardByJaxProcess` multihost sharding built in.
+
+Selected with ``--data_backend grain``.  The loader surface matches the
+threaded ``DataLoader``: iterable of dict batches, ``__len__``,
+``set_epoch`` (re-seeds the shuffle, as torch's sampler does implicitly).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from flyp_tpu.data.csv_dataset import CsvContrastiveDataset
+from flyp_tpu.data.transforms import eval_transform, train_transform
+
+
+class _Source:
+    """grain RandomAccessDataSource over a CsvContrastiveDataset: each
+    record's augmentation RNG is derived from (seed, index) so any worker
+    layout reproduces the same sample."""
+
+    def __init__(self, dataset: CsvContrastiveDataset, seed: int):
+        self._dataset = dataset
+        self._seed = seed
+
+    def __len__(self) -> int:
+        return len(self._dataset)
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(np.random.SeedSequence([self._seed, int(idx)]))
+        return self._dataset.get(int(idx), rng)
+
+
+class GrainLoader:
+    """DataLoader-shaped wrapper around grain.DataLoader."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        num_workers: int,
+        seed: int = 0,
+        shard_by_process: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.shard_by_process = shard_by_process
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        import grain
+
+        shard = self._shard_options()
+        n = len(self.dataset) // shard.shard_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _shard_options(self):
+        import grain
+
+        if self.shard_by_process:
+            # Multihost: each JAX process reads its own slice (split_by_node
+            # semantics of `laion.py:464`).
+            return grain.sharding.ShardByJaxProcess(drop_remainder=True)
+        return grain.sharding.NoSharding()
+
+    def __iter__(self):
+        import grain
+
+        sampler = grain.samplers.IndexSampler(
+            num_records=len(self.dataset),
+            shuffle=self.shuffle,
+            seed=self.seed + self._epoch,
+            num_epochs=1,
+            shard_options=self._shard_options(),
+        )
+        loader = grain.DataLoader(
+            data_source=_Source(self.dataset, self.seed + self._epoch),
+            sampler=sampler,
+            operations=[grain.transforms.Batch(self.batch_size, drop_remainder=self.drop_last)],
+            worker_count=self.num_workers,
+        )
+        return iter(loader)
+
+
+def get_grain_csv_loader(
+    cfg,
+    is_train: bool,
+    image_size: int = 224,
+    guidance: Optional[int] = None,
+    list_selection: Optional[Sequence[int]] = None,
+    ori_proportion: Optional[float] = None,
+    return_guidance: bool = False,
+    return_img_id: bool = False,
+):
+    """Grain-backed equivalent of ``csv_data.get_csv_loader`` (train side)."""
+    input_filename = cfg.ft_data if is_train else cfg.ft_data_test
+    assert input_filename, "ft_data / ft_data_test must be set"
+    label_key = "label" if (not is_train or cfg.get_labeled_csv) else None
+
+    transform = train_transform(image_size) if is_train else eval_transform(image_size)
+    dataset = CsvContrastiveDataset(
+        input_filename,
+        transform,
+        img_key=cfg.csv_img_key,
+        caption_key=cfg.csv_caption_key,
+        sep=cfg.csv_separator,
+        label_key=label_key,
+        guidance=guidance,
+        datalimit=cfg.datalimit if is_train else -1,
+        list_selection=list_selection,
+        ori_proportion=ori_proportion,
+        return_guidance=return_guidance,
+        return_img_id=return_img_id,
+        seed=cfg.seed,
+    )
+    return GrainLoader(
+        dataset,
+        batch_size=cfg.batch_size,
+        shuffle=is_train,
+        drop_last=is_train,
+        num_workers=cfg.workers,
+        seed=cfg.seed,
+    )

@@ -26,12 +26,12 @@ def _default_impl() -> str:
     if choice != "auto":
         return choice
     # Measured on v5e (batch 256 ViT-B/16 train step, docs/BENCHMARKS.md):
-    # the wide-boundary fused-QKV Pallas kernel hits 55.9% MFU vs XLA's
-    # 43.8% (the narrow per-head kernel loses at 40.8% — its custom-vjp
-    # boundary forces the head split/reshape chain to materialize in HBM).
+    # the whole-sub-block kernel (LN1+QKV+attention+out-proj+residual,
+    # 'pallas_block') hits 61.6% MFU vs 58.4% for the fused-QKV kernel and
+    # 43.8% for XLA attention.
     try:
         if jax.default_backend() in ("tpu", "axon"):
-            return "pallas_qkv"
+            return "pallas_block"
     except Exception:  # pragma: no cover
         pass
     return "xla"

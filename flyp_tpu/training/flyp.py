@@ -219,11 +219,20 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         if guidance is not None:
             logger.info(f"loading image guidance = {guidance}, loop times {str_times}")
             sink.log({"Epoch": epoch, "Image Guidance": guidance})
-        if getattr(cfg, "data_backend", "threads") == "tfdata" and cfg.cluster != "loss":
+        backend = getattr(cfg, "data_backend", "threads")
+        if backend == "tfdata" and cfg.cluster != "loss":
             from flyp_tpu.data.tfdata import get_tfdata_csv_loader
 
             return get_tfdata_csv_loader(
                 cfg, is_train=True, image_size=image_size, guidance=guidance, ori_proportion=proportion
+            )
+        if backend == "grain":
+            from flyp_tpu.data.grain_data import get_grain_csv_loader
+
+            return get_grain_csv_loader(
+                cfg, is_train=True, image_size=image_size, guidance=guidance,
+                list_selection=list_classes, ori_proportion=proportion,
+                return_img_id=(cfg.cluster == "loss"),
             )
         return get_csv_loader(
             cfg, is_train=True, image_size=image_size,

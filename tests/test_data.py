@@ -107,3 +107,31 @@ def test_loader_batch_contents(corpus):
     assert batch["image"].shape == (6, 32, 32, 3)
     assert batch["tokens"].shape == (6, 77)
     assert batch["image"].dtype == np.float32
+
+
+def test_grain_csv_loader(corpus, tmp_path):
+    """Grain backend: dict batches, deterministic per-epoch shuffles,
+    drop_last train semantics, DataLoader-compatible surface."""
+    grain = pytest.importorskip("grain")
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.data.grain_data import get_grain_csv_loader
+
+    cfg = ExperimentConfig(ft_data=corpus, ft_data_test=corpus, batch_size=4, workers=0, seed=0)
+    loader = get_grain_csv_loader(cfg, is_train=True, image_size=32)
+    n = len(loader.dataset)
+    assert len(loader) == n // 4
+
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    assert batches[0]["image"].shape == (4, 32, 32, 3)
+    assert batches[0]["tokens"].shape[0] == 4
+
+    # Same epoch -> identical stream; new epoch -> reshuffled.
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["tokens"], again[0]["tokens"])
+    loader.set_epoch(1)
+    shuffled = list(loader)
+    assert not all(
+        np.array_equal(a["tokens"], b["tokens"]) for a, b in zip(batches, shuffled)
+    )

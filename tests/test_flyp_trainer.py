@@ -200,3 +200,12 @@ def test_cont_finetune_class_filter_parsing(tmp_path):
     # 3 (0.2<=0.5, 60>=50) and 9 (0.1, 51) pass; 5 fails acc; 7 fails count;
     # 0 is appended since absent.
     assert picked == [3, 9, 0]
+
+
+def test_flyp_train_grain_backend(corpus, tmp_path):
+    pytest.importorskip("grain")
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, data_backend="grain", workers=0, epochs=1)
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+    stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
+    assert len(stats) == 1 and "Avg ID FLYP Loss" in stats.columns
