@@ -60,7 +60,9 @@ def main(steps: int = 120, batch: int = 64):
     first, last = losses[0][1], losses[-1][1]
     floor = float(np.log(batch))
     print(f"init ~{first:.3f} (ln {batch} = {floor:.3f}), final {last:.3f}, {dt:.1f}s")
-    assert abs(first - floor) < 0.5, f"init loss {first} != ln(batch) {floor}"
+    # Random init sits at or above the chance floor ln(B) (logit_scale=1/0.07
+    # amplifies random-feature similarity structure); far below means a bug.
+    assert floor - 0.3 < first < floor + 2.0, f"init loss {first} vs ln(batch) {floor}"
     assert last < first - 0.5, f"no convergence: {first} -> {last}"
     print("CONVERGENCE OK")
 
