@@ -10,14 +10,11 @@ output + the attention output ``o`` saved for the out-projection backward).
 The LayerNorm fp32 island (`/root/reference/clip/model.py:155-161`), the
 [B, L, 3D] QKV projection, and the per-head attention all stay in VMEM.
 
-The backward is one kernel too: out-projection grads over the saved ``o``,
-attention backward over the saved ``qkv`` (never re-derived — measured,
-the recompute matmul cancels the fusion win), LayerNorm backward
-recomputed from ``x``, and all weight/bias grads accumulated in fp32
-across the sequential batch grid.  The fp32 accumulators put the kernel
-at ~24MB VMEM-resident — past the 16MB Mosaic *default* limit but well
-inside the hardware's (``vmem_limit_bytes`` raised; measured a
-36MB-resident kernel running on v5e).
+Backward splits once: the out-projection grads are two clean XLA matmuls
+over the saved ``o``; everything upstream (attention bwd, dqkv, the fused
+dW/db/dscale/dbias accumulations across the sequential grid, and the
+LayerNorm backward) runs in a second Pallas kernel that recomputes
+LN/QKV/attention from ``x`` instead of materializing them.
 """
 
 from __future__ import annotations
@@ -93,8 +90,8 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
 
 def _bwd_kernel(
     L, H, G, causal, scale,
-    x_ref, gin_ref, o_ref, qkv_ref, g_ref, b_ref, wqkv_ref, wout_ref,
-    dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref, dwout_ref, dbout_ref,
+    x_ref, do_ref, qkv_ref, g_ref, b_ref, wqkv_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref,
     dqkv_scr,
 ):
     D = x_ref.shape[-1]
@@ -109,24 +106,10 @@ def _bwd_kernel(
         dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
         dg_ref[:] = jnp.zeros_like(dg_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
-        dwout_ref[:] = jnp.zeros_like(dwout_ref)
-        dbout_ref[:] = jnp.zeros_like(dbout_ref)
 
     xf = x_ref[:].reshape(G * Lp, D)
     xhat, rstd, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
     y = _row_zero_flat(y32, L, Lp).astype(xf.dtype)
-
-    # Out-projection backward, fused (the saved `o` and the incoming grad
-    # are already on-chip): dWout += o^T g, dbout += sum g, do = g Wout^T.
-    gf = _row_zero_flat(gin_ref[:].reshape(G * Lp, D).astype(xf.dtype), L, Lp)
-    of = _row_zero_flat(o_ref[:].reshape(G * Lp, D).astype(xf.dtype), L, Lp)
-    dwout_ref[:] += jax.lax.dot_general(
-        of, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dbout_ref[0, :] += jnp.sum(gf.astype(jnp.float32), axis=0)
-    dof = jax.lax.dot_general(
-        gf, wout_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(xf.dtype).reshape(G, Lp, D)
 
     # Attention backward (same math as fused_qkv_attention._bwd_kernel),
     # assembling the fused dqkv for all G items in a VMEM scratch.
@@ -138,7 +121,7 @@ def _bwd_kernel(
             q = _row_zero(q, L)
             k = _row_zero(k, L)
             v = _row_zero(v, L)
-            do = dof[g, :, h * head_dim : (h + 1) * head_dim]
+            do = _row_zero(do_ref[g, :, h * head_dim : (h + 1) * head_dim].astype(xf.dtype), L)
 
             p = _row_zero(_softmax_p_2d(q, k, L, causal, sm_scale), L)
             p_cast = p.astype(xf.dtype)
@@ -171,8 +154,7 @@ def _bwd_kernel(
     dxhat = dY * g_ref[0, :]
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    # Residual add fused too: dx = g + LN-path gradient.
-    dx = gf.astype(jnp.float32) + rstd * (dxhat - m1 - xhat * m2)
+    dx = rstd * (dxhat - m1 - xhat * m2)
     dx_ref[:] = _row_zero_flat(dx, L, Lp).astype(dx_ref.dtype).reshape(G, Lp, D)
 
 
@@ -252,7 +234,7 @@ def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inte
     return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv)
 
 
-def _bwd_call(x, gin, o, qkv, ln_scale, ln_bias, wqkv, wout, heads, causal, interpret):
+def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
     B, L, D = x.shape
     Lp = _pad_len(L, x.dtype)
     G = _items_per_program(B, L)
@@ -260,25 +242,21 @@ def _bwd_call(x, gin, o, qkv, ln_scale, ln_bias, wqkv, wout, heads, causal, inte
     const2 = lambda b: (0, 0)
     in_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
-        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # g (block output grad)
-        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # o (fwd-saved attention out)
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # do
         pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),    # qkv (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
-        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),         # Wout
     ]
     out_specs = [
-        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx (complete)
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # dWqkv
         pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # dbqkv
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dscale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dbias
-        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),         # dWout
-        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dbout
     ]
     head_dim = D // heads
-    outs = pl.pallas_call(
+    dx_ln, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, L, heads, G, causal, head_dim ** -0.5),
         grid=(B // G,),
         in_specs=in_specs,
@@ -289,26 +267,18 @@ def _bwd_call(x, gin, o, qkv, ln_scale, ln_bias, wqkv, wout, heads, causal, inte
             jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((D, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((G * Lp, 3 * D), x.dtype)],
-        # The fp32 dW accumulators + weights need ~24MB resident; the 16MB
-        # Mosaic default is a soft limit, not the hardware's (measured: a
-        # 36MB-resident kernel runs fine on v5e).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         x,
-        gin,
-        o,
+        do,
         qkv,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
         wqkv.astype(x.dtype),
-        wout.astype(x.dtype),
     )
-    return outs
+    return dx_ln, dwqkv, dbqkv, dscale, dbias
 
 
 def _spec_dim0(arg_shapes):
@@ -332,10 +302,7 @@ def _force_shardings(mesh, b, shapes):
 # dim is a unique need-replication factor, so the partitioner gathers any
 # feature/length sharding before the kernel.
 _FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14, b f15 f16"
-_BWD_RULE = (
-    "b f1 f2, b f3 f4, b f5 f6, b f7 f8, f9, f10, f11 f12, f13 f14"
-    " -> b f15 f16, f17 f18, f19 f20, f21 f22, f23 f24, f25 f26, f27 f28"
-)
+_BWD_RULE = "b f1 f2, b f3 f4, b f5 f6, f7, f8, f9 f10 -> b f11 f12, f13 f14, f15 f16, f17 f18, f19 f20"
 
 
 def _factors(rule):
@@ -378,10 +345,12 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
             res_sh = _force_shardings(mesh, b, result_shape)
 
             def lower(*args):
-                dx, *wgrads = _bwd_call(*args, heads, causal, interpret)
+                dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(*args, heads, causal, interpret)
                 if b is not None:
-                    wgrads = list(jax.lax.psum(tuple(wgrads), axis_name=b))
-                return (dx, *wgrads)
+                    dwqkv, dbqkv, dscale, dbias = jax.lax.psum(
+                        (dwqkv, dbqkv, dscale, dbias), axis_name=b
+                    )
+                return dx_ln, dwqkv, dbqkv, dscale, dbias
 
             return mesh, lower, res_sh, args_sh
 
@@ -404,12 +373,22 @@ def _block_bwd(heads, causal, interpret, residuals, g):
     x, ln_scale, ln_bias, wqkv, wout, o, qkv = residuals
     B, L, D = x.shape
 
-    if jax.device_count() > 1:
-        outs = _partitioned("bwd", heads, causal, interpret)(x, g, o, qkv, ln_scale, ln_bias, wqkv, wout)
-    else:
-        outs = _bwd_call(x, g, o, qkv, ln_scale, ln_bias, wqkv, wout, heads, causal, interpret)
-    dx, dwqkv, dbqkv, dscale, dbias, dwout, dbout = outs
+    # Out-projection backward: plain XLA matmuls over the saved `o`.
+    g32 = g.astype(jnp.float32)
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    do = jnp.einsum("ble,de->bld", g, wout.astype(g.dtype))
 
+    if jax.device_count() > 1:
+        dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned("bwd", heads, causal, interpret)(
+            x, do, qkv, ln_scale, ln_bias, wqkv
+        )
+    else:
+        dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
+            x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret
+        )
+
+    dx = (g.astype(jnp.float32) + dx_ln.astype(jnp.float32)).astype(x.dtype)
     return (
         dx,
         dscale.reshape(ln_scale.shape).astype(ln_scale.dtype),
@@ -417,7 +396,7 @@ def _block_bwd(heads, causal, interpret, residuals, g):
         dwqkv.astype(wqkv.dtype),
         dbqkv.reshape(3 * D),  # [3D] float32, matching the bqkv param
         dwout.astype(wout.dtype),
-        dbout.reshape(D),  # [D] float32, matching the bout param
+        dbout,  # [D] float32, matching the bout param
     )
 
 
