@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flyp_tpu.ops.fused_qkv_attention import _mask, _pad_len, _row_zero
+from flyp_tpu.ops.fused_qkv_attention import _pad_len, _row_zero
 
 _EPS = 1e-5
 
@@ -46,6 +46,26 @@ def _row_zero_flat(x, L, Lp):
     r mod Lp >= L)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % Lp
     return jnp.where(rows < L, x, jnp.zeros_like(x))
+
+
+def _mask_bias(Lp: int, L: int, causal: bool) -> jax.Array:
+    """Additive score mask, built once per program and reused across the
+    head/item loops: one add per score matrix instead of iota+compare+where
+    per head.  -1e30 keeps exp() at exactly 0 after max-subtraction."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
+    keep = col < L
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
+        keep = jnp.logical_and(keep, col <= row)
+    return jnp.where(keep, 0.0, _NEG).astype(jnp.float32)
+
+
+_NEG = -1e30
+
+
+def _softmax_masked(q, k, bias, scale):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    return jax.nn.softmax(s + bias, axis=-1)
 
 
 def _layer_norm(x32, scale_ref, bias_ref):
@@ -68,15 +88,23 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + bqkv_ref[0, :]
     ).astype(xf.dtype)
+    # One [G*Lp, 3D] zeroing of the padding rows replaces the three per-head
+    # q/k/v zeros AND makes the additive mask NaN-safe (block padding reads
+    # are undefined; a NaN k row would poison valid rows through the softmax
+    # row-max, which the old value-replacing `where` mask was immune to).
+    qkvf = _row_zero_flat(qkvf, L, Lp)
     # Saved for backward: re-deriving qkv there would cost a full extra
     # matmul per layer (measured: it cancels the fusion win entirely).
     qkv_ref[:] = qkvf.reshape(G, Lp, 3 * D)
+    # No per-head row-zeroing needed: masked score COLUMNS are exactly 0
+    # after softmax, and every padding ROW of o/out is dropped when the
+    # block writes back to the unpadded [B, L, D] arrays.
+    bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         qkv = qkvf[g * Lp : (g + 1) * Lp]
         for h in range(H):
             q, k, v = _heads_2d(qkv, D, head_dim, h)
-            v = _row_zero(v, L)
-            p = _row_zero(_softmax_p_2d(q, k, L, causal, scale), L)
+            p = _softmax_masked(q, k, bias, scale)
             o_ref[g, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
                 p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ).astype(o_ref.dtype)
@@ -113,17 +141,21 @@ def _bwd_kernel(
 
     # Attention backward (same math as fused_qkv_attention._bwd_kernel),
     # assembling the fused dqkv for all G items in a VMEM scratch.
+    # Only `do` needs row-zeroing: with do's padding rows at 0, dv/dk lose
+    # their garbage contributions through the row contraction, ds's padding
+    # rows vanish (dp rows are 0), and p's masked COLUMNS (exact softmax
+    # zeros) kill the padding rows of k/v everywhere else.
+    bias = _mask_bias(Lp, L, causal)
     for g in range(G):
-        qkv = qkv_ref[g]
+        # Zero the block-padding rows (undefined reads) once per item —
+        # NaN-safety for the additive mask, see the forward kernel.
+        qkv = _row_zero(qkv_ref[g], L)
         row0 = g * Lp
         for h in range(H):
             q, k, v = _heads_2d(qkv, D, head_dim, h)
-            q = _row_zero(q, L)
-            k = _row_zero(k, L)
-            v = _row_zero(v, L)
             do = _row_zero(do_ref[g, :, h * head_dim : (h + 1) * head_dim].astype(xf.dtype), L)
 
-            p = _row_zero(_softmax_p_2d(q, k, L, causal, sm_scale), L)
+            p = _softmax_masked(q, k, bias, sm_scale)
             p_cast = p.astype(xf.dtype)
             dv = jax.lax.dot_general(p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -163,11 +195,6 @@ def _heads_2d(qkv, D, head_dim, h):
     k = qkv[:, D + h * head_dim : D + (h + 1) * head_dim]
     v = qkv[:, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim]
     return q, k, v
-
-
-def _softmax_p_2d(q, k, L, causal, scale):
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    return jax.nn.softmax(_mask(s, L, causal), axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
