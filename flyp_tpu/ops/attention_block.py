@@ -33,9 +33,10 @@ _EPS = 1e-5
 
 def _items_per_program(B: int, L: int) -> int:
     """Grid programs per kernel = B / G.  Short sequences (the 77-token text
-    tower) leave per-item programs overhead-dominated — batch 4 items per
-    program there; vision (197 tokens) stays at 1."""
-    G = 4 if L <= 96 else 1
+    tower) leave per-item programs overhead-dominated — batch 8 items per
+    program there and 2 for vision (per-program sequencing costs ~1us; the
+    VMEM growth is covered by the raised vmem_limit)."""
+    G = 8 if L <= 96 else 2
     while G > 1 and B % G:
         G //= 2
     return G
@@ -240,6 +241,10 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
             jax.ShapeDtypeStruct((B, L, 3 * D), x.dtype),
         ],
+        # ~20-35MB resident with G-batched blocks + fp32 accumulators;
+        # the 16MB Mosaic default is a soft limit (measured: 36MB-resident
+        # kernels run fine on v5e).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         x,
@@ -296,6 +301,10 @@ def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((G * Lp, 3 * D), x.dtype)],
+        # ~20-35MB resident with G-batched blocks + fp32 accumulators;
+        # the 16MB Mosaic default is a soft limit (measured: 36MB-resident
+        # kernels run fine on v5e).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         x,
