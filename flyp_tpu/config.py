@@ -94,6 +94,7 @@ class ExperimentConfig:
     # TPU-native additions (absent upstream, defaulted to be inert)
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1
+    fsdp: bool = False  # shard params + AdamW moments over the data axis
     compute_dtype: str = "bfloat16"
     remat: bool = False
     log_dir: Optional[str] = None
@@ -171,6 +172,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")
     p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--fsdp", action=argparse.BooleanOptionalAction, default=False)
     return p
 
 

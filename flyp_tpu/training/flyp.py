@@ -271,6 +271,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # model-axis feature shards), so TP runs keep the flagship kernel.
         state = shard_train_state(mesh, state)
         step_fn = make_train_step(model, optimizer, mesh=None)
+    elif cfg.fsdp:
+        # ZeRO-style: params + AdamW moments sharded over the data axis;
+        # GSPMD inserts the gathers/reduce-scatters (SURVEY §2.7 optional).
+        from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
+
+        state = shard_train_state_fsdp(mesh, state)
+        step_fn = make_train_step(model, optimizer, mesh=None)
     else:
         state = replicate(mesh, state)
         step_fn = make_train_step(model, optimizer, mesh=mesh)
