@@ -36,7 +36,7 @@ def peak_flops_for(device) -> float:
     return 197.0e12  # conservative default
 
 
-def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
+def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: str = "ViT-B/16", remat: bool = False):
     from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
     from flyp_tpu.training.schedules import warmup_cosine_lr
     from flyp_tpu.training.train_state import create_train_state, make_optimizer
@@ -48,8 +48,8 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     if not on_tpu:
         batch_size, steps, warmup = 8, 3, 1  # functional check only
 
-    config = MODEL_CONFIGS["ViT-B/16"]
-    model = CLIPModel(config, compute_dtype=compute_dtype)
+    config = MODEL_CONFIGS[model_name]
+    model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
     params = init_clip_params(model, 0)
 
     optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1)
@@ -57,7 +57,8 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     step_fn = make_train_step(model, optimizer, donate=True)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3)), compute_dtype)
+    px = config.vision.image_size
+    images = jnp.asarray(rng.standard_normal((batch_size, px, px, 3)), compute_dtype)
     tokens_np = np.zeros((batch_size, 77), dtype=np.int32)
     tokens_np[:, 0] = 49406
     lengths = rng.integers(6, 20, batch_size)
@@ -86,7 +87,8 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
             per_mm = batch_size * H * lp * lp * 64 * 2
             return layers * (2 + 4) * per_mm
 
-        step_flops += _attn_flops(197, config.vision.width // 64, config.vision.layers, 16)
+        vis_tokens = (config.vision.image_size // config.vision.patch_size) ** 2 + 1
+        step_flops += _attn_flops(vis_tokens, config.vision.width // 64, config.vision.layers, 16)
         step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
 
     if step_flops and impl.startswith("pallas_block"):
@@ -101,7 +103,7 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
             mlp = 2 * (2 * batch_size * L * D * 4 * D) if with_mlp else 0
             return layers * (3 * qkv + out + mlp)
 
-        step_flops += _proj_flops(197, config.vision.width, config.vision.layers)
+        step_flops += _proj_flops(vis_tokens, config.vision.width, config.vision.layers)
         step_flops += _proj_flops(77, config.text.width, config.text.layers)
 
     # NOTE: on the tunneled 'axon' platform block_until_ready returns at
@@ -122,7 +124,7 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     mfu = (step_flops / step_time) / peak_flops_for(device) if step_flops else 0.0
 
     result = {
-        "metric": "images/sec/chip ViT-B/16 contrastive FT",
+        "metric": f"images/sec/chip {model_name} contrastive FT",
         "value": round(images_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(mfu / 0.45, 4) if mfu else 0.0,
@@ -141,4 +143,5 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3):
 
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    main(batch_size=bs)
+    name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B/16"
+    main(batch_size=bs, model_name=name, remat=(name != "ViT-B/16"))

@@ -101,6 +101,8 @@ _STD = np.ascontiguousarray(CLIP_STD, dtype=np.float32)
 def _transform(rgb: np.ndarray, box: Tuple[float, float, float, float],
                rs_w: int, rs_h: int, crop: Tuple[int, int, int]) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        raise RuntimeError("native decode library unavailable")
     h, w = rgb.shape[:2]
     cx, cy, cs = crop
     out_size = cs if cs > 0 else None
