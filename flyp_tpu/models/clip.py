@@ -52,13 +52,15 @@ class CLIPModel(nn.Module):
         # BatchNorm uses batch stats and updates running stats (the
         # reference fine-tunes with model.train(), `flyp_loss.py:412`).
         if self.config.vision.is_vit:
-            feats = self.visual(images.astype(self.compute_dtype))
+            # train=True keeps the kernels' backward residuals (fused
+            # attention saves qkv/o); inference skips those writes.
+            feats = self.visual(images.astype(self.compute_dtype), train=train)
         else:
             feats = self.visual(images.astype(self.compute_dtype), train=train)
         return l2_normalize(feats) if normalize else feats
 
-    def encode_text(self, tokens: jax.Array, normalize: bool = False) -> jax.Array:
-        feats = self.text(tokens)
+    def encode_text(self, tokens: jax.Array, normalize: bool = False, train: bool = False) -> jax.Array:
+        feats = self.text(tokens, train=train)
         return l2_normalize(feats) if normalize else feats
 
     def __call__(
@@ -70,11 +72,11 @@ class CLIPModel(nn.Module):
         features, matching `clip/model.py:363-369`.
         """
         if images is None:
-            return self.encode_text(tokens)
+            return self.encode_text(tokens, train=train)
         if tokens is None:
             return self.encode_image(images, train=train)
         image_features = self.encode_image(images, normalize=True, train=train)
-        text_features = self.encode_text(tokens, normalize=True)
+        text_features = self.encode_text(tokens, normalize=True, train=train)
         return image_features, text_features, jnp.exp(self.logit_scale)
 
 

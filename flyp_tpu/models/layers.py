@@ -175,7 +175,7 @@ class ResidualBlock(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from flyp_tpu.ops.attention import _default_impl
 
         impl = _default_impl()
@@ -183,12 +183,15 @@ class ResidualBlock(nn.Module):
             # Whole-sub-block fusion: LN1 + QKV + attention + out-proj +
             # residual as one Pallas kernel; params keep the exact tree
             # layout of the module path, so checkpoints are interchangeable.
-            from flyp_tpu.ops.attention_block import attention_block
+            # Inference skips the backward-residual writes (still
+            # differentiable: its bwd regenerates them with one recompute).
+            from flyp_tpu.ops.attention_block import attention_block, attention_block_inference
 
             interpret = jax.default_backend() == "cpu"
             ln_scale, ln_bias = _LNParams(name="ln_1")(self.width)
             qkv_k, qkv_b, out_k, out_b = _AttnParams(self.width, name="attn")()
-            x = attention_block(
+            block_fn = attention_block if train else attention_block_inference
+            x = block_fn(
                 x, ln_scale, ln_bias, qkv_k, qkv_b, out_k, out_b,
                 self.heads, self.causal, interpret,
             )
@@ -220,8 +223,10 @@ class Transformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # train is static (Python control flow inside the block); remat must
+        # treat it as such.
+        block_cls = nn.remat(ResidualBlock, static_argnums=(2,)) if self.remat else ResidualBlock
         for i in range(self.layers):
-            x = block_cls(self.width, self.heads, self.causal, name=f"block_{i}")(x)
+            x = block_cls(self.width, self.heads, self.causal, name=f"block_{i}")(x, train)
         return x

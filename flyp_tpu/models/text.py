@@ -22,7 +22,7 @@ class TextTransformer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: jax.Array) -> jax.Array:
+    def __call__(self, tokens: jax.Array, train: bool = False) -> jax.Array:
         """tokens: [B, context_length] int32 -> [B, embed_dim]."""
         cfg = self.config
         token_embedding = self.param(
@@ -35,7 +35,7 @@ class TextTransformer(nn.Module):
         dtype = self.compute_dtype
         x = token_embedding[tokens].astype(dtype)
         x = x + positional_embedding.astype(dtype)
-        x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True, remat=self.remat, name="transformer")(x)
+        x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True, remat=self.remat, name="transformer")(x, train)
         x = LayerNormFp32(name="ln_final")(x)
 
         # Pool at the EOT token (highest id in each row, `clip/model.py:359`).

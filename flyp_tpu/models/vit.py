@@ -21,7 +21,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
         """images: [B, H, W, 3] (NHWC, TPU-native layout) -> [B, embed_dim]."""
         cfg = self.config
         scale = cfg.width ** -0.5
@@ -60,7 +60,7 @@ class VisionTransformer(nn.Module):
         x = x + positional_embedding.astype(dtype)
         x = LayerNormFp32(name="ln_pre")(x)
 
-        x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False, remat=self.remat, name="transformer")(x)
+        x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False, remat=self.remat, name="transformer")(x, train)
 
         x = LayerNormFp32(name="ln_post")(x[:, 0, :])
 

@@ -198,6 +198,104 @@ def _heads_2d(qkv, D, head_dim, h):
     return q, k, v
 
 
+def _fwd_infer_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_scr):
+    """Inference forward: same math as _fwd_kernel, but the backward
+    residuals (qkv, o) are never written to HBM — o assembles in scratch."""
+    D = x_ref.shape[-1]
+    Lp = x_ref.shape[1]
+    head_dim = D // H
+    xf = x_ref[:].reshape(G * Lp, D)
+    _, _, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
+    y = y32.astype(xf.dtype)
+    qkvf = (
+        jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        + bqkv_ref[0, :]
+    ).astype(xf.dtype)
+    qkvf = _row_zero_flat(qkvf, L, Lp)
+    bias = _mask_bias(Lp, L, causal)
+    for g in range(G):
+        qkv = qkvf[g * Lp : (g + 1) * Lp]
+        row0 = g * Lp
+        for h in range(H):
+            q, k, v = _heads_2d(qkv, D, head_dim, h)
+            p = _softmax_masked(q, k, bias, scale)
+            o_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
+                p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(o_scr.dtype)
+    proj = (
+        jax.lax.dot_general(o_scr[:], wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        + bout_ref[0, :]
+    )
+    out_ref[:] = (xf.astype(jnp.float32) + proj).astype(out_ref.dtype).reshape(G, Lp, D)
+
+
+def _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+    B, L, D = x.shape
+    Lp = _pad_len(L, x.dtype)
+    G = _items_per_program(B, L)
+    row = lambda b: (b, 0, 0)
+    const2 = lambda b: (0, 0)
+    specs = [
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
+    ]
+    head_dim = D // heads
+    return pl.pallas_call(
+        functools.partial(_fwd_infer_kernel, L, heads, G, causal, head_dim ** -0.5),
+        grid=(B // G,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * Lp, D), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, D).astype(jnp.float32),
+        ln_bias.reshape(1, D).astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.reshape(1, 3 * D).astype(jnp.float32),
+        wout.astype(x.dtype),
+        bout.reshape(1, D).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def attention_block_inference(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
+                              heads: int, causal: bool = False, interpret: bool = False):
+    """attention_block without the backward-residual HBM writes (~4x less
+    forward output traffic).  Still differentiable: the backward simply
+    re-runs the training forward to regenerate (qkv, o) — eval-side grad
+    consumers (fisher, CE ablation) stay correct at a small recompute
+    cost, while pure inference (the per-epoch eval harness, zero-shot
+    head builds) never pays for residuals."""
+    out, _ = _infer_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
+                        heads, causal, interpret)
+    return out
+
+
+def _infer_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+    if jax.device_count() > 1:
+        out = _partitioned("fwd_infer", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+    else:
+        out = _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout)
+
+
+def _infer_bwd(heads, causal, interpret, residuals, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wout = residuals
+    # Regenerate the residuals with the training forward, then reuse its
+    # backward wholesale (dbout = sum g is independent of bout's value).
+    bout_zero = jnp.zeros((x.shape[-1],), jnp.float32)
+    _, full_residuals = _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout_zero, heads, causal, interpret)
+    return _block_bwd(heads, causal, interpret, full_residuals, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def attention_block(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
                     heads: int, causal: bool = False, interpret: bool = False):
@@ -338,6 +436,7 @@ def _force_shardings(mesh, b, shapes):
 # dim is a unique need-replication factor, so the partitioner gathers any
 # feature/length sharding before the kernel.
 _FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14, b f15 f16"
+_FWD_INFER_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12"
 _BWD_RULE = "b f1 f2, b f3 f4, b f5 f6, f7, f8, f9 f10 -> b f11 f12, f13 f14, f15 f16, f17 f18, f19 f20"
 
 
@@ -357,18 +456,24 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
     the backward's weight/bias grads are psum-reduced over the batch axis."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    if kind == "fwd":
-        impl = lambda *a: _fwd_call(*a, heads, causal, interpret)
+    if kind in ("fwd", "fwd_infer"):
+        call = _fwd_call if kind == "fwd" else _fwd_infer_call
+        impl = lambda *a: call(*a, heads, causal, interpret)
+
+        single = kind == "fwd_infer"
 
         def partition(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
             args_sh = _force_shardings(mesh, b, arg_shapes)
-            res_sh = _force_shardings(mesh, b, result_shape)
-            return mesh, impl, res_sh, args_sh
+            res = [result_shape] if single else result_shape
+            res_sh = _force_shardings(mesh, b, res)
+            return mesh, impl, (res_sh[0] if single else res_sh), args_sh
 
         def infer(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
-            return _force_shardings(mesh, b, result_shape)
+            res = [result_shape] if single else result_shape
+            sh = _force_shardings(mesh, b, res)
+            return sh[0] if single else sh
 
     else:
 
@@ -394,7 +499,7 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
             b = _spec_dim0(arg_shapes)
             return _force_shardings(mesh, b, result_shape)
 
-    rule = _FWD_RULE if kind == "fwd" else _BWD_RULE
+    rule = {"fwd": _FWD_RULE, "fwd_infer": _FWD_INFER_RULE, "bwd": _BWD_RULE}[kind]
     f = custom_partitioning(impl)
     f.def_partition(
         partition,
@@ -437,3 +542,4 @@ def _block_bwd(heads, causal, interpret, residuals, g):
 
 
 attention_block.defvjp(_block_fwd, _block_bwd)
+attention_block_inference.defvjp(_infer_fwd, _infer_bwd)

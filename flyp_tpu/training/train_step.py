@@ -54,7 +54,9 @@ def make_train_step(
                 )
                 new_stats = updated["batch_stats"]
             else:
-                img_f, txt_f, scale = model.apply(variables, images, tokens)
+                # train=True selects the residual-saving kernel forward
+                # (backward needs qkv/o); eval paths use the lighter one.
+                img_f, txt_f, scale = model.apply(variables, images, tokens, train=True)
                 new_stats = None
             per_item = clip_loss(
                 img_f,

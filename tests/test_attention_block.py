@@ -200,3 +200,29 @@ def test_mlp_block_matches_unfused():
     g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=tuple(range(len(args) + 1)))(x, *args)
     for name, a, b in zip(["x"] + keys, g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_inference_variant_matches_train_variant():
+    """attention_block_inference: same forward values, same gradients (its
+    backward regenerates the residuals with one recompute)."""
+    from flyp_tpu.ops.attention_block import attention_block_inference
+
+    B, L, D, H = 3, 13, 128, 2
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = _params(D)
+    keys = sorted(p)
+    args = [p[k] for k in keys]
+
+    def run(fn, x, *a):
+        pp = dict(zip(keys, a))
+        return fn(x, pp["ln_scale"], pp["ln_bias"], pp["wqkv"], pp["bqkv"], pp["wout"], pp["bout"], H, False, True)
+
+    out_t = run(attention_block, x, *args)
+    out_i = run(attention_block_inference, x, *args)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(out_t), atol=1e-6, rtol=1e-6)
+
+    g_t = jax.grad(lambda *a: jnp.sum(run(attention_block, *a) ** 2), argnums=tuple(range(len(args) + 1)))(x, *args)
+    g_i = jax.grad(lambda *a: jnp.sum(run(attention_block_inference, *a) ** 2), argnums=tuple(range(len(args) + 1)))(x, *args)
+    for name, a, b in zip(["x"] + keys, g_i, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5, err_msg=name)
