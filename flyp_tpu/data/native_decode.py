@@ -150,13 +150,18 @@ class NativeTransform:
         self.train = train
 
     def from_path(self, path: str, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        with open(path, "rb") as f:
+            return self.from_bytes(f.read(), rng)
+
+    def from_bytes(self, data: bytes, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         try:
-            with open(path, "rb") as f:
-                rgb = decode(f.read())
+            rgb = decode(data)
         except ValueError:  # non-JPEG/PNG format: PIL decodes, C++ transforms
+            import io
+
             from PIL import Image
 
-            img = Image.open(path)
+            img = Image.open(io.BytesIO(data))
             rgb = np.asarray(img.convert("RGB") if img.mode != "RGB" else img)
         if self.train:
             return train_transform_from_rgb(rgb, self.n_px, rng or np.random.default_rng())

@@ -140,13 +140,28 @@ def _decode(sample: dict, transform: Callable, rng: np.random.Generator) -> Opti
     if img_bytes is None or txt_bytes is None:
         return None
     try:
-        img = Image.open(io.BytesIO(img_bytes))
-        image = transform(img, rng).astype(np.float32)
+        if hasattr(transform, "from_bytes"):
+            # Native C++ decode+transform (GIL-free), PIL fallback inside.
+            image = transform.from_bytes(img_bytes, rng).astype(np.float32)
+        else:
+            img = Image.open(io.BytesIO(img_bytes))
+            image = transform(img, rng).astype(np.float32)
         caption = txt_bytes.decode("utf-8", errors="replace")
     except Exception as exc:
         log.warning("Handling webdataset error (%r). Ignoring sample %s.", exc, sample.get("__key__"))
         return None
     return {"image": image, "tokens": tokenize(caption)[0]}
+
+
+def is_webdataset(path: str, dataset_type: str = "auto") -> bool:
+    """The get_dataset_fn dispatch rule (`laion.py:602-619`): an explicit
+    --dataset-type wins; 'auto' routes tar shards (or brace-expanded shard
+    patterns) to the webdataset pipeline and everything else to CSV."""
+    if dataset_type == "webdataset":
+        return True
+    if dataset_type == "csv":
+        return False
+    return path.split(".")[-1] == "tar" or "{" in path
 
 
 class WebDatasetLoader:

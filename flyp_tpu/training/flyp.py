@@ -220,6 +220,29 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             logger.info(f"loading image guidance = {guidance}, loop times {str_times}")
             sink.log({"Epoch": epoch, "Image Guidance": guidance})
         backend = getattr(cfg, "data_backend", "threads")
+        from flyp_tpu.data.webdataset import WebDatasetLoader, is_webdataset
+
+        if is_webdataset(cfg.ft_data, cfg.dataset_type):
+            # LAION-style tar shards (dispatch parity with `laion.py:602-619`);
+            # guidance/curriculum semantics are CSV-only, as upstream.
+            from flyp_tpu.data.transforms import train_transform
+
+            transform = train_transform(image_size)
+            if backend == "native":
+                from flyp_tpu.data import native_decode
+
+                if native_decode.available():
+                    transform = native_decode.native_train_transform(image_size)
+            return WebDatasetLoader(
+                cfg.ft_data,
+                transform,
+                cfg.batch_size,
+                num_samples=cfg.train_num_samples,
+                seed=cfg.seed,
+                num_workers=cfg.workers,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
         if backend == "tfdata" and cfg.cluster != "loss":
             from flyp_tpu.data.tfdata import get_tfdata_csv_loader
 
@@ -473,10 +496,15 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 pickle.dump([last_perform, progress_ma], f)
 
         # -- formal eval (`flyp_loss.py:600-668`) -----------------------------
-        logger.info("Formal evaluation ...")
-        head = build_zeroshot_head(cfg, model, host_variables)
-        clf = Classifier(model, host_variables, head, batch_size=cfg.batch_size)
-        evaluate(clf, cfg, epoch_stats, logger)
+        if cfg.eval_datasets:
+            logger.info("Formal evaluation ...")
+            head = build_zeroshot_head(cfg, model, host_variables)
+            clf = Classifier(model, host_variables, head, batch_size=cfg.batch_size)
+            evaluate(clf, cfg, epoch_stats, logger)
+        else:
+            # Pure contrastive pretraining (e.g. LAION tar shards) has no
+            # class list to build a zero-shot head from.
+            logger.info("No eval datasets; skipping zero-shot evaluation")
 
         ood_acc = _avg_ood_acc(epoch_stats)
         if cfg.eval_datasets:

@@ -101,3 +101,56 @@ def test_node_split(shards):
     k0 = {tuple(b["tokens"][i]) for b in n0 for i in range(2)}
     k1 = {tuple(b["tokens"][i]) for b in n1 for i in range(2)}
     assert not (k0 & k1)  # disjoint across nodes
+
+
+def test_is_webdataset_dispatch():
+    from flyp_tpu.data.webdataset import is_webdataset
+
+    assert is_webdataset("shards-{00000..00099}.tar", "auto")
+    assert is_webdataset("data/shard.tar", "auto")
+    assert not is_webdataset("train.csv", "auto")
+    assert not is_webdataset("train.tsv", "auto")
+    assert is_webdataset("train.csv", "webdataset")  # explicit type wins
+    assert not is_webdataset("x.tar", "csv")
+
+
+def test_flyp_trainer_dispatches_tar_shards(shards, tmp_path):
+    """flyp_train with --ft_data pointing at tar shards uses the webdataset
+    pipeline end to end (`laion.py:602-619` dispatch parity)."""
+    import dataclasses as dc
+    import os
+
+    import pandas as pd
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.training.flyp import flyp_train
+
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dc.replace(
+        cfg,
+        embed_dim=32,
+        vision=dc.replace(cfg.vision, image_size=32, patch_size=16, width=64, layers=2, heads=1),
+        text=dc.replace(cfg.text, width=64, heads=1, layers=2),
+    )
+    model = CLIPModel(cfg)
+    variables = {"params": init_clip_params(model, 0)}
+
+    exp = ExperimentConfig(
+        ft_data=os.path.join(shards, "shard-{00000..00003}.tar"),
+        batch_size=8,
+        lr=1e-3,
+        wd=0.1,
+        warmup_length=1,
+        epochs=1,
+        workers=2,
+        debug=True,
+        compute_dtype="float32",
+        log_dir=str(tmp_path / "logs"),
+    )
+    flyp_train(exp, model=model, variables=variables, print_every=1)
+    stats = pd.read_csv(os.path.join(exp.log_dir, "stats.tsv"), sep="\t")
+    assert len(stats) == 1 and "Avg ID FLYP Loss" in stats.columns
+    # 24 samples / batch 8 = 3 train batches actually consumed.
+    log_text = open(os.path.join(exp.log_dir, "log.log")).read()
+    assert "Num batches is 3" in log_text
