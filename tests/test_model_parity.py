@@ -157,3 +157,25 @@ def test_open_clip_layout_checkpoint_conversion(tmp_path):
     our_txt = ours.apply({"params": params}, jnp.asarray(toks.astype(np.int32)), method="encode_text")
     np.testing.assert_allclose(np.asarray(our_img), ref_img, atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(our_txt), ref_txt, atol=2e-4, rtol=2e-4)
+
+
+def test_torchscript_archive_checkpoint_conversion(tmp_path):
+    """OpenAI distributes CLIP as TorchScript archives (`clip/clip.py:124`);
+    load_torch_checkpoint must read those too, not just state dicts."""
+    ref, _, _, cfg = make_pair(2, 64, 16)
+    imgs0, toks0 = rand_inputs(cfg, batch=1)
+    with torch.no_grad():
+        traced = torch.jit.trace(ref, (torch.from_numpy(imgs0), torch.from_numpy(toks0)))
+    path = tmp_path / "jit_archive.pt"
+    torch.jit.save(traced, str(path))
+
+    state = convert.load_torch_checkpoint(str(path))
+    params, batch_stats, sniffed = convert.convert_clip_state_dict(state)
+    assert sniffed.vision.width == 64 and sniffed.embed_dim == 64
+
+    ours = CLIPModel(sniffed)
+    imgs, toks = rand_inputs(sniffed, batch=2)
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(imgs)).numpy()
+    our_img = ours.apply({"params": params}, jnp.asarray(imgs.transpose(0, 2, 3, 1)), method="encode_image")
+    np.testing.assert_allclose(np.asarray(our_img), ref_img, atol=2e-4, rtol=2e-4)
