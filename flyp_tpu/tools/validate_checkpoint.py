@@ -48,17 +48,62 @@ def activation_crosscheck(checkpoint_path: str, reference_root: str = "/root/ref
 
     rng = np.random.default_rng(0)
     imgs = rng.standard_normal((2, 3, config.vision.image_size, config.vision.image_size)).astype(np.float32)
+    vocab = config.text.vocab_size
     toks = np.zeros((2, config.text.context_length), dtype=np.int64)
-    toks[:, 0] = 49406
-    toks[:, 1:4] = rng.integers(1, 49000, (2, 3))
-    toks[:, 4] = 49407
+    toks[:, 0] = vocab - 2  # SOT
+    toks[:, 1:4] = rng.integers(1, vocab - 2, (2, 3))
+    toks[:, 4] = vocab - 1  # EOT (highest id -> pooling position)
+
+    # Per-block diff localization: hook every reference residual block and
+    # capture the flax intermediates, so a conversion/numerics bug points at
+    # a specific layer instead of "final features differ".
+    ref_acts = {}
+
+    def hook(name):
+        def fn(_m, _i, out):
+            ref_acts[name] = out.detach().float().numpy()
+        return fn
+
+    if config.vision.is_vit:
+        for i, blk in enumerate(ref.visual.transformer.resblocks):
+            blk.register_forward_hook(hook(f"visual.block_{i}"))
+    for i, blk in enumerate(ref.transformer.resblocks):
+        blk.register_forward_hook(hook(f"text.block_{i}"))
 
     with torch.no_grad():
         ref_img = ref.encode_image(torch.from_numpy(imgs)).numpy()
         ref_txt = ref.encode_text(torch.from_numpy(toks)).numpy()
-    our_img = np.asarray(model.apply(variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)), method="encode_image"))
-    our_txt = np.asarray(model.apply(variables, jnp.asarray(toks.astype(np.int32)), method="encode_text"))
-    return max(float(np.abs(our_img - ref_img).max()), float(np.abs(our_txt - ref_txt).max()))
+
+    our_img, img_state = model.apply(
+        variables, jnp.asarray(imgs.transpose(0, 2, 3, 1)), method="encode_image",
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    our_txt, txt_state = model.apply(
+        variables, jnp.asarray(toks.astype(np.int32)), method="encode_text",
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+
+    def block_diff(state, tower, i):
+        node = state["intermediates"]
+        for part in (tower, "transformer", f"block_{i}", "__call__"):
+            node = node[part]
+        ours = np.asarray(node[0])  # [B, L, D]
+        theirs = ref_acts[f"{tower}.block_{i}"]
+        if theirs.shape != ours.shape:  # torch blocks run LND
+            theirs = theirs.transpose(1, 0, 2)
+        return float(np.abs(ours - theirs).max())
+
+    report = {}
+    if config.vision.is_vit:
+        for i in range(config.vision.layers):
+            report[f"visual.block_{i}"] = block_diff(img_state, "visual", i)
+    for i in range(config.text.layers):
+        report[f"text.block_{i}"] = block_diff(txt_state, "text", i)
+    report["image_features"] = float(np.abs(np.asarray(our_img) - ref_img).max())
+    report["text_features"] = float(np.abs(np.asarray(our_txt) - ref_txt).max())
+    for name, diff in report.items():
+        print(f"  {name:>20s}: max abs diff {diff:.3e}")
+    return max(report["image_features"], report["text_features"])
 
 
 def main(argv=None):

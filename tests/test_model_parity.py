@@ -179,3 +179,15 @@ def test_torchscript_archive_checkpoint_conversion(tmp_path):
         ref_img = ref.encode_image(torch.from_numpy(imgs)).numpy()
     our_img = ours.apply({"params": params}, jnp.asarray(imgs.transpose(0, 2, 3, 1)), method="encode_image")
     np.testing.assert_allclose(np.asarray(our_img), ref_img, atol=2e-4, rtol=2e-4)
+
+
+def test_activation_crosscheck_per_block(tmp_path):
+    """The validate_checkpoint cross-check localizes diffs per block."""
+    ref, _, _, cfg = make_pair(2, 64, 16)
+    path = tmp_path / "ckpt.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    from flyp_tpu.tools.validate_checkpoint import activation_crosscheck
+
+    diff = activation_crosscheck(str(path))
+    assert diff < 5e-4
