@@ -78,7 +78,7 @@ def _layer_norm(x32, scale_ref, bias_ref):
     return xhat, rstd, y32
 
 
-def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref):
+def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref, lse_ref):
     D = x_ref.shape[-1]
     Lp = x_ref.shape[1]
     head_dim = D // H
@@ -103,12 +103,25 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         qkv = qkvf[g * Lp : (g + 1) * Lp]
+        lse_cols = []
         for h in range(H):
             q, k, v = _heads_2d(qkv, D, head_dim, h)
-            p = _softmax_masked(q, k, bias, scale)
-            o_ref[g, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
-                p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            # Late renormalization + saved log-sum-exp: the [L, L] division
+            # becomes an [L, head_dim] scale, and the backward reconstructs
+            # p with a single exp instead of a full softmax recompute.
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s = s * scale + bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            lse_cols.append(m + jnp.log(l))
+            o_ref[g, :, h * head_dim : (h + 1) * head_dim] = (
+                jax.lax.dot_general(
+                    e.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                / l
             ).astype(o_ref.dtype)
+        lse_ref[g] = jnp.concatenate(lse_cols, axis=1)
     of = o_ref[:].reshape(G * Lp, D)
     proj = (
         jax.lax.dot_general(of, wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -119,7 +132,7 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
 
 def _bwd_kernel(
     L, H, G, causal, scale,
-    x_ref, do_ref, qkv_ref, g_ref, b_ref, wqkv_ref,
+    x_ref, do_ref, qkv_ref, lse_ref, g_ref, b_ref, wqkv_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref,
     dqkv_scr,
 ):
@@ -151,12 +164,16 @@ def _bwd_kernel(
         # Zero the block-padding rows (undefined reads) once per item —
         # NaN-safety for the additive mask, see the forward kernel.
         qkv = _row_zero(qkv_ref[g], L)
+        lse = _row_zero(lse_ref[g].astype(jnp.float32), L)
         row0 = g * Lp
         for h in range(H):
             q, k, v = _heads_2d(qkv, D, head_dim, h)
             do = _row_zero(do_ref[g, :, h * head_dim : (h + 1) * head_dim].astype(xf.dtype), L)
 
-            p = _softmax_masked(q, k, bias, sm_scale)
+            # p from the forward-saved log-sum-exp: one exp instead of a
+            # full softmax recompute (max/sum/div passes gone).
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            p = jnp.exp(s * sm_scale + bias - lse[:, h : h + 1])
             p_cast = p.astype(xf.dtype)
             dv = jax.lax.dot_general(p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -327,9 +344,10 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),  # lse stats
     ]
     head_dim = D // heads
-    out, o, qkv = pl.pallas_call(
+    out, o, qkv, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, L, heads, G, causal, head_dim ** -0.5),
         grid=(B // G,),
         in_specs=specs,
@@ -338,6 +356,7 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
             jax.ShapeDtypeStruct((B, L, 3 * D), x.dtype),
+            jax.ShapeDtypeStruct((B, L, heads), jnp.float32),
         ],
         # ~20-35MB resident with G-batched blocks + fp32 accumulators;
         # the 16MB Mosaic default is a soft limit (measured: 36MB-resident
@@ -353,18 +372,18 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
-    return out, o, qkv
+    return out, o, qkv, lse
 
 
 def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
     if jax.device_count() > 1:
-        out, o, qkv = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+        out, o, qkv, lse = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
     else:
-        out, o, qkv = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
-    return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv)
+        out, o, qkv, lse = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
+    return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse)
 
 
-def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
+def _bwd_call(x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret):
     B, L, D = x.shape
     Lp = _pad_len(L, x.dtype)
     G = _items_per_program(B, L)
@@ -374,6 +393,7 @@ def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # do
         pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),    # qkv (fwd-saved)
+        pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),    # lse (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
         pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
@@ -408,6 +428,7 @@ def _bwd_call(x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret):
         x,
         do,
         qkv,
+        lse,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
         wqkv.astype(x.dtype),
@@ -435,9 +456,9 @@ def _force_shardings(mesh, b, shapes):
 # Shardy rules: 'b' ties the rank-3 batch dims (passthrough); every other
 # dim is a unique need-replication factor, so the partitioner gathers any
 # feature/length sharding before the kernel.
-_FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14, b f15 f16"
+_FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14, b f15 f16, b f17 f18"
 _FWD_INFER_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12"
-_BWD_RULE = "b f1 f2, b f3 f4, b f5 f6, f7, f8, f9 f10 -> b f11 f12, f13 f14, f15 f16, f17 f18, f19 f20"
+_BWD_RULE = "b f1 f2, b f3 f4, b f5 f6, b f7 f8, f9, f10, f11 f12 -> b f13 f14, f15 f16, f17 f18, f19 f20, f21 f22"
 
 
 def _factors(rule):
@@ -511,7 +532,7 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
 
 
 def _block_bwd(heads, causal, interpret, residuals, g):
-    x, ln_scale, ln_bias, wqkv, wout, o, qkv = residuals
+    x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse = residuals
     B, L, D = x.shape
 
     # Out-projection backward: plain XLA matmuls over the saved `o`.
@@ -522,11 +543,11 @@ def _block_bwd(heads, causal, interpret, residuals, g):
 
     if jax.device_count() > 1:
         dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned("bwd", heads, causal, interpret)(
-            x, do, qkv, ln_scale, ln_bias, wqkv
+            x, do, qkv, lse, ln_scale, ln_bias, wqkv
         )
     else:
         dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
-            x, do, qkv, ln_scale, ln_bias, wqkv, heads, causal, interpret
+            x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret
         )
 
     dx = (g.astype(jnp.float32) + dx_ln.astype(jnp.float32)).astype(x.dtype)
