@@ -27,7 +27,7 @@ def _default_impl() -> str:
         return choice
     # Measured on v5e (batch 256 ViT-B/16 train step, docs/BENCHMARKS.md):
     # the whole-sub-block kernel (LN1+QKV+attention+out-proj+residual,
-    # 'pallas_block') hits 61.6% MFU vs 58.4% for the fused-QKV kernel and
+    # 'pallas_block') hits 63.1% MFU vs 58.4% for the fused-QKV kernel and
     # 43.8% for XLA attention.
     try:
         if jax.default_backend() in ("tpu", "axon"):

@@ -13,8 +13,10 @@ The LayerNorm fp32 island (`/root/reference/clip/model.py:155-161`), the
 Backward splits once: the out-projection grads are two clean XLA matmuls
 over the saved ``o``; everything upstream (attention bwd, dqkv, the fused
 dW/db/dscale/dbias accumulations across the sequential grid, and the
-LayerNorm backward) runs in a second Pallas kernel that recomputes
-LN/QKV/attention from ``x`` instead of materializing them.
+LayerNorm backward) runs in a second Pallas kernel.  The only recomputes
+are cheap by construction: LN from ``x`` (VPU), and the probability
+matrix from the saved ``qkv`` + per-(row, head) log-sum-exp stats — one
+score matmul and one exp, no softmax max/sum/div passes.
 """
 
 from __future__ import annotations
