@@ -66,8 +66,10 @@ def _mask_bias(Lp: int, L: int, causal: bool) -> jax.Array:
 _NEG = -1e30
 
 
-def _softmax_masked(q, k, bias, scale):
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+def _softmax_masked(q_scaled, k, bias):
+    """Softmax over pre-scaled query scores (sm_scale folded into q: an
+    [L, head_dim] multiply instead of an [L, L] one)."""
+    s = jax.lax.dot_general(q_scaled, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     return jax.nn.softmax(s + bias, axis=-1)
 
 
@@ -105,14 +107,19 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         qkv = qkvf[g * Lp : (g + 1) * Lp]
+        # sm_scale folded into q once per item ([Lp, D] pass) — no [L, L]
+        # scale pass per head.  The saved lse is relative to the SCALED
+        # scores; the backward pre-scales q the same way.
+        qs = qkv[:, :D] * scale
         lse_cols = []
         for h in range(H):
-            q, k, v = _heads_2d(qkv, D, head_dim, h)
+            _, k, v = _heads_2d(qkv, D, head_dim, h)
+            q = qs[:, h * head_dim : (h + 1) * head_dim]
             # Late renormalization + saved log-sum-exp: the [L, L] division
             # becomes an [L, head_dim] scale, and the backward reconstructs
             # p with a single exp instead of a full softmax recompute.
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            s = s * scale + bias
+            s = s + bias
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             l = jnp.sum(e, axis=-1, keepdims=True)
@@ -167,21 +174,36 @@ def _bwd_kernel(
         # NaN-safety for the additive mask, see the forward kernel.
         qkv = _row_zero(qkv_ref[g], L)
         lse = _row_zero(lse_ref[g].astype(jnp.float32), L)
+        # do zeroed ONCE per item ([Lp, D]) instead of per head.
+        do_f = _row_zero(do_ref[g].astype(xf.dtype), L)
+        # sm_scale folded into q (see forward): scaled scores match the
+        # saved lse directly, and no [L, L] scale pass exists in ds either.
+        qs = qkv[:, :D] * sm_scale
         row0 = g * Lp
         for h in range(H):
-            q, k, v = _heads_2d(qkv, D, head_dim, h)
-            do = _row_zero(do_ref[g, :, h * head_dim : (h + 1) * head_dim].astype(xf.dtype), L)
+            _, k, v = _heads_2d(qkv, D, head_dim, h)
+            q = qs[:, h * head_dim : (h + 1) * head_dim]
+            do = do_f[:, h * head_dim : (h + 1) * head_dim]
 
             # p from the forward-saved log-sum-exp: one exp instead of a
             # full softmax recompute (max/sum/div passes gone).
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            p = jnp.exp(s * sm_scale + bias - lse[:, h : h + 1])
+            p = jnp.exp(s + bias - lse[:, h : h + 1])
             p_cast = p.astype(xf.dtype)
             dv = jax.lax.dot_general(p_cast, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-            ds = (ds * sm_scale).astype(xf.dtype)
-            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            # NOTE: the flash-attention delta identity (sum_j p_ij dp_ij ==
+            # sum_d do_id o_id over the saved forward output) was measured
+            # here and LOST ~1 MFU point: the extra [B, L, D] o read per
+            # layer (~1.2 GB/step) outweighs the removed [L, L] VPU passes,
+            # which overlap MXU work anyway (docs/BENCHMARKS.md).
+            ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(xf.dtype)
+            # dq w.r.t. the RAW q carries sm_scale on the [L, head_dim]
+            # result; dk contracts against the pre-scaled q (same algebra).
+            dq = (
+                jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                * sm_scale
+            )
             dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dqkv_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_scr.dtype)
             dqkv_scr[row0 : row0 + Lp, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
@@ -234,10 +256,11 @@ def _fwd_infer_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqk
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         qkv = qkvf[g * Lp : (g + 1) * Lp]
+        qs = qkv[:, :D] * scale
         row0 = g * Lp
         for h in range(H):
-            q, k, v = _heads_2d(qkv, D, head_dim, h)
-            p = _softmax_masked(q, k, bias, scale)
+            _, k, v = _heads_2d(qkv, D, head_dim, h)
+            p = _softmax_masked(qs[:, h * head_dim : (h + 1) * head_dim], k, bias)
             o_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
                 p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ).astype(o_scr.dtype)
