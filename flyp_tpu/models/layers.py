@@ -225,8 +225,18 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # train is static (Python control flow inside the block); remat must
-        # treat it as such.
-        block_cls = nn.remat(ResidualBlock, static_argnums=(2,)) if self.remat else ResidualBlock
+        # treat it as such.  The policy pins the fused attention kernel's
+        # saved residuals (tagged in ops/attention_block._block_fwd), so the
+        # backward never re-runs the Pallas forward — only the MLP entry is
+        # rematerialized.  With the XLA attention impl no tags exist and the
+        # policy degrades to full per-block remat.
+        if self.remat:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_block_out", "attn_block_o", "attn_block_qkv", "attn_block_lse"
+            )
+            block_cls = nn.remat(ResidualBlock, static_argnums=(2,), policy=policy)
+        else:
+            block_cls = ResidualBlock
         for i in range(self.layers):
             x = block_cls(self.width, self.heads, self.causal, name=f"block_{i}")(x, train)
         return x

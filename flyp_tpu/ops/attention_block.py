@@ -401,10 +401,21 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
 
 
 def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     if jax.device_count() > 1:
         out, o, qkv, lse = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
     else:
         out, o, qkv, lse = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
+    # Checkpoint-name tags let a remat policy (layers.Transformer) SAVE the
+    # kernel's backward residuals instead of re-running the whole fused
+    # forward under rematerialization: with these pinned, the only per-block
+    # recompute left is the cheap LN2+fc entry of the MLP.  Identity when no
+    # policy is active.
+    out = checkpoint_name(out, "attn_block_out")
+    o = checkpoint_name(o, "attn_block_o")
+    qkv = checkpoint_name(qkv, "attn_block_qkv")
+    lse = checkpoint_name(lse, "attn_block_lse")
     return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse)
 
 

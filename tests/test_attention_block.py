@@ -159,6 +159,53 @@ def test_model_with_pallas_block_impl_matches_xla(monkeypatch):
         _default_impl.cache_clear()
 
 
+def test_remat_policy_preserves_fused_kernel_grads(monkeypatch):
+    """remat=True uses a save_only_these_names policy pinning the fused
+    kernel's residuals (no Pallas-forward re-run in backward); loss and
+    grads must match the remat=False model exactly."""
+    import dataclasses
+
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.ops.attention import _default_impl
+    from flyp_tpu.ops.losses import clip_loss
+
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=128, layers=2, heads=2),
+        text=dataclasses.replace(cfg.text, context_length=16, vocab_size=256, width=128, heads=2, layers=2),
+    )
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    tokens = np.zeros((4, 16), dtype=np.int32)
+    tokens[:, 0] = 1
+    tokens[:, 1] = 40
+    tokens[:, 2] = 255
+    tokens = jnp.asarray(tokens)
+
+    def loss_fn(model):
+        def f(params):
+            img_f, txt_f, scale = model.apply({"params": params}, images, tokens, train=True)
+            return jnp.mean(clip_loss(img_f, txt_f, scale))
+
+        return f
+
+    monkeypatch.setenv("FLYP_ATTENTION_IMPL", "pallas_block")
+    _default_impl.cache_clear()
+    try:
+        base = CLIPModel(cfg, remat=False)
+        remat = CLIPModel(cfg, remat=True)
+        params = init_clip_params(base, 0)
+        l0, g0 = jax.value_and_grad(loss_fn(base))(params)
+        l1, g1 = jax.value_and_grad(loss_fn(remat))(params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    finally:
+        _default_impl.cache_clear()
+
+
 def test_mlp_block_matches_unfused():
     """mlp_block values + grads vs the module math (LN fp32 + QuickGELU)."""
     from flyp_tpu.ops.mlp_block import mlp_block
