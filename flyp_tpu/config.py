@@ -94,6 +94,7 @@ class ExperimentConfig:
     # TPU-native additions (absent upstream, defaulted to be inert)
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1
+    mesh_replica: int = 1  # multi-slice outer data parallelism (DCN axis)
     fsdp: bool = False  # shard params + AdamW moments over the data axis
     compute_dtype: str = "bfloat16"
     remat: bool = False
@@ -168,6 +169,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_replica", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")

@@ -194,7 +194,10 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         model, variables = build_clip_model(cfg)
     image_size = model.config.vision.image_size
 
-    mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
+    mesh = create_mesh_for_batch(
+        MeshConfig(cfg.mesh_data, cfg.mesh_model, replica=getattr(cfg, "mesh_replica", 1)),
+        cfg.batch_size,
+    )
     logger.info(f"Mesh: {mesh}")
 
     # cont_finetune: the prior run's checkpoint is restored via --clip_load
