@@ -23,7 +23,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flyp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from flyp_tpu.parallel.mesh import MODEL_AXIS
 
 
 def _spec_for(path: str, shape) -> P:
