@@ -37,7 +37,7 @@ def peak_flops_for(device) -> float:
 
 
 def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: str = "ViT-B/16", remat: bool = False):
-    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
     from flyp_tpu.training.schedules import warmup_cosine_lr
     from flyp_tpu.training.train_state import create_train_state, make_optimizer
     from flyp_tpu.training.train_step import make_train_step
@@ -50,10 +50,10 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
 
     config = MODEL_CONFIGS[model_name]
     model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
-    params = init_clip_params(model, 0)
+    variables = init_clip_variables(model, 0)
 
     optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1)
-    state = create_train_state(params, optimizer)
+    state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     step_fn = make_train_step(model, optimizer, donate=True)
 
     rng = np.random.default_rng(0)
@@ -87,8 +87,11 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
             per_mm = batch_size * H * lp * lp * 64 * 2
             return layers * (2 + 4) * per_mm
 
-        vis_tokens = (config.vision.image_size // config.vision.patch_size) ** 2 + 1
-        step_flops += _attn_flops(vis_tokens, config.vision.width // 64, config.vision.layers, 16)
+        # ModifiedResNet towers run XLA convs (fully visible to cost
+        # analysis); only transformer towers hide FLOPs in the kernel.
+        vis_tokens = config.vision.seq_len if config.vision.is_vit else 0
+        if config.vision.is_vit:
+            step_flops += _attn_flops(vis_tokens, config.vision.width // 64, config.vision.layers, 16)
         step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
 
     if step_flops and impl.startswith("pallas_block"):
@@ -103,7 +106,8 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
             mlp = 2 * (2 * batch_size * L * D * 4 * D) if with_mlp else 0
             return layers * (3 * qkv + out + mlp)
 
-        step_flops += _proj_flops(vis_tokens, config.vision.width, config.vision.layers)
+        if config.vision.is_vit:
+            step_flops += _proj_flops(vis_tokens, config.vision.width, config.vision.layers)
         step_flops += _proj_flops(77, config.text.width, config.text.layers)
 
     # NOTE: on the tunneled 'axon' platform block_until_ready returns at

@@ -1,5 +1,5 @@
 from .configs import CLIPConfig, MODEL_CONFIGS, TextConfig, VisionConfig, resolve_model_name
-from .clip import CLIPModel, init_clip_params
+from .clip import CLIPModel, init_clip_params, init_clip_variables
 from .head import ClassificationHead
 from . import convert
 
@@ -11,6 +11,7 @@ __all__ = [
     "resolve_model_name",
     "CLIPModel",
     "init_clip_params",
+    "init_clip_variables",
     "ClassificationHead",
     "convert",
 ]

@@ -80,13 +80,21 @@ class CLIPModel(nn.Module):
         return image_features, text_features, jnp.exp(self.logit_scale)
 
 
-def init_clip_params(
+def init_clip_variables(
     model: CLIPModel, rng: jax.Array | int = 0, image_batch: int = 1
 ) -> dict:
-    """Initialize a parameter pytree with CLIP's published init distribution."""
+    """Initialize ALL variable collections with CLIP's published init
+    distribution — params plus batch_stats for the ModifiedResNet towers."""
     if isinstance(rng, int):
         rng = jax.random.key(rng)
     cfg = model.config
     images = jnp.zeros((image_batch, cfg.vision.image_size, cfg.vision.image_size, 3), model.compute_dtype)
     tokens = jnp.zeros((image_batch, cfg.text.context_length), jnp.int32)
-    return model.init(rng, images, tokens)["params"]
+    return model.init(rng, images, tokens)
+
+
+def init_clip_params(
+    model: CLIPModel, rng: jax.Array | int = 0, image_batch: int = 1
+) -> dict:
+    """Initialize a parameter pytree with CLIP's published init distribution."""
+    return init_clip_variables(model, rng, image_batch)["params"]
