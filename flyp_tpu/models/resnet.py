@@ -28,12 +28,19 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         inplanes = x.shape[-1]
         out_planes = self.planes * self.expansion
+        # Keep the compute dtype of the input (bf16 on TPU): without an
+        # explicit dtype flax promotes bf16 activations x fp32 params to
+        # fp32, halving the MXU conv rate (measured: 25% -> see
+        # docs/BENCHMARKS.md).  Params stay fp32; BN statistics are fp32
+        # internally regardless.
+        dt = x.dtype
 
         def conv(n, features, kernel, name):
-            return nn.Conv(features, (kernel, kernel), padding="SAME" if kernel > 1 else "VALID", use_bias=False, name=name)(n)
+            return nn.Conv(features, (kernel, kernel), padding="SAME" if kernel > 1 else "VALID",
+                           use_bias=False, dtype=dt, name=name)(n)
 
         def bn(n, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)(n)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n)
 
         out = nn.relu(bn(conv(x, self.planes, 1, "conv1"), "bn1"))
         out = nn.relu(bn(conv(out, self.planes, 3, "conv2"), "bn2"))
@@ -44,8 +51,8 @@ class Bottleneck(nn.Module):
         identity = x
         if self.stride > 1 or inplanes != out_planes:
             identity = nn.avg_pool(x, (self.stride, self.stride), strides=(self.stride, self.stride)) if self.stride > 1 else x
-            identity = nn.Conv(out_planes, (1, 1), use_bias=False, name="downsample_conv")(identity)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="downsample_bn")(identity)
+            identity = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=dt, name="downsample_conv")(identity)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="downsample_bn")(identity)
 
         return nn.relu(out + identity)
 
@@ -68,7 +75,7 @@ class AttentionPool2d(nn.Module):
         x = x + pos.astype(x.dtype)
 
         def dense(n, features, name):
-            return nn.Dense(features, name=name)(n)
+            return nn.Dense(features, dtype=x.dtype, name=name)(n)
 
         q = dense(x, self.embed_dim, "q_proj").reshape(B, -1, self.heads, self.embed_dim // self.heads)
         k = dense(x, self.embed_dim, "k_proj").reshape(B, -1, self.heads, self.embed_dim // self.heads)
@@ -88,13 +95,15 @@ class ModifiedResNet(nn.Module):
         cfg = self.config
         width = cfg.width
 
+        dt = x.dtype  # compute dtype (see Bottleneck)
+
         def bn(n, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)(n)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n)
 
         # 3-conv stem.
-        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, name="conv1")(x), "bn1"))
-        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x), "bn2"))
-        x = nn.relu(bn(nn.Conv(width, (3, 3), padding=1, use_bias=False, name="conv3")(x), "bn3"))
+        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, dtype=dt, name="conv1")(x), "bn1"))
+        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv2")(x), "bn2"))
+        x = nn.relu(bn(nn.Conv(width, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv3")(x), "bn3"))
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
         for stage, (blocks, planes, stride) in enumerate(
