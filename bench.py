@@ -148,4 +148,6 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B/16"
-    main(batch_size=bs, model_name=name, remat=(name != "ViT-B/16"))
+    # Remat (with the saved-kernel-residuals policy) only where activations
+    # don't fit outright: the ViT-L family at 16 GB.
+    main(batch_size=bs, model_name=name, remat=name.startswith("ViT-L"))
