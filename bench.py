@@ -46,7 +46,7 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
     on_tpu = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     if not on_tpu:
-        batch_size, steps, warmup = 8, 3, 1  # functional check only
+        batch_size, steps, warmup = min(batch_size, 8), 2, 1  # functional check only
 
     config = MODEL_CONFIGS[model_name]
     model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
