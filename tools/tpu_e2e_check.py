@@ -57,12 +57,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--images-per-class", type=int, default=32)
+    ap.add_argument("--model", default="ViT-B/16", help="any MODEL_CONFIGS key; RN50 exercises the BatchNorm/batch_stats path")
     args = ap.parse_args()
 
     import jax
 
     from flyp_tpu.config import ExperimentConfig
-    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
     from flyp_tpu.training.flyp import flyp_train
 
     backend = jax.default_backend()
@@ -96,8 +97,8 @@ def main():
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if on_tpu else jnp.float32
-        model = CLIPModel(MODEL_CONFIGS["ViT-B/16"], compute_dtype=dtype)
-        variables = {"params": init_clip_params(model, 0)}
+        model = CLIPModel(MODEL_CONFIGS[args.model], compute_dtype=dtype)
+        variables = init_clip_variables(model, 0)
         flyp_train(cfg, model=model, variables=variables, print_every=1)
 
         stats = pd.read_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
