@@ -65,6 +65,12 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
     for i, n in enumerate(lengths):
         tokens_np[i, 1:n] = rng.integers(1, 49000, n - 1)
         tokens_np[i, n] = 49407
+    # Same exact context shrinking the trainer's loader applies: caption
+    # lengths here mirror prompt-templated classnames (6-20 tokens).
+    from flyp_tpu.tokenizer import shrink_context
+
+    tokens_np = shrink_context(tokens_np)
+    ctx = tokens_np.shape[1]
     tokens = jnp.asarray(tokens_np)
 
     # XLA's FLOP estimate for the whole train step (fwd+bwd+update).
@@ -92,7 +98,7 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
         vis_tokens = config.vision.seq_len if config.vision.is_vit else 0
         if config.vision.is_vit:
             step_flops += _attn_flops(vis_tokens, config.vision.width // 64, config.vision.layers, 16)
-        step_flops += _attn_flops(77, config.text.heads, config.text.layers, 16)
+        step_flops += _attn_flops(ctx, config.text.heads, config.text.layers, 16)
 
     if step_flops and impl.startswith("pallas_block"):
         # The block kernels also hide the QKV projection (fwd + dW + dY)
@@ -108,7 +114,7 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
 
         if config.vision.is_vit:
             step_flops += _proj_flops(vis_tokens, config.vision.width, config.vision.layers)
-        step_flops += _proj_flops(77, config.text.width, config.text.layers)
+        step_flops += _proj_flops(ctx, config.text.width, config.text.layers)
 
     # NOTE: on the tunneled 'axon' platform block_until_ready returns at
     # enqueue time; a host transfer is the only true synchronization.  Time

@@ -133,6 +133,14 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2, image_dtype=None):
             if isinstance(v, np.ndarray) and v.dtype.kind not in "USO":
                 if image_dtype is not None and np.issubdtype(v.dtype, np.floating):
                     v = v.astype(image_dtype)
+                if k == "tokens":
+                    # Exact context shrinking (causal tower + EOT pooling):
+                    # slice padded captions to the batch's bucketed max EOT
+                    # before the H2D copy — typically 77 -> 32, ~2.4x less
+                    # text-tower work with bit-identical features.
+                    from flyp_tpu.tokenizer import shrink_context
+
+                    v = shrink_context(v)
                 out[k] = jax.device_put(v, sharding) if mesh is not None else jax.device_put(v)
             else:
                 out[k] = v

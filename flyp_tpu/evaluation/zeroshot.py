@@ -21,7 +21,7 @@ import numpy as np
 
 from flyp_tpu.models.clip import CLIPModel
 from flyp_tpu.models.head import ClassificationHead
-from flyp_tpu.tokenizer import tokenize
+from flyp_tpu.tokenizer import shrink_context, tokenize
 
 
 import functools
@@ -44,7 +44,10 @@ def class_embeddings(
 ) -> np.ndarray:
     """[num_classes, embed_dim] normalized mean-of-templates embeddings."""
     prompts = [t(name) for name in classnames for t in template]
-    tokens = tokenize(prompts)  # [C*T, ctx]
+    # Exact context shrinking: template prompts are short; slicing to the
+    # bucketed max EOT cuts the per-epoch head rebuild's text-tower work
+    # ~2.4x with identical embeddings (causal tower + EOT pooling).
+    tokens = shrink_context(tokenize(prompts))  # [C*T, <=ctx]
 
     n = tokens.shape[0]
     encode_batch = min(encode_batch, max(8, n))

@@ -34,7 +34,11 @@ class TextTransformer(nn.Module):
 
         dtype = self.compute_dtype
         x = token_embedding[tokens].astype(dtype)
-        x = x + positional_embedding.astype(dtype)
+        # Accept contexts shorter than the trained length: in a CAUSAL tower
+        # positions past the EOT cannot influence the pooled feature, so a
+        # batch sliced to its max EOT position (tokenizer.shrink_context)
+        # produces bit-identical features at a fraction of the FLOPs.
+        x = x + positional_embedding[: tokens.shape[1]].astype(dtype)
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True, remat=self.remat, name="transformer")(x, train)
         x = LayerNormFp32(name="ln_final")(x)
 

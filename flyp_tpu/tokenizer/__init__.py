@@ -1,3 +1,3 @@
-from .bpe import ClipTokenizer, get_tokenizer, tokenize
+from .bpe import ClipTokenizer, get_tokenizer, shrink_context, tokenize
 
-__all__ = ["ClipTokenizer", "get_tokenizer", "tokenize"]
+__all__ = ["ClipTokenizer", "get_tokenizer", "shrink_context", "tokenize"]

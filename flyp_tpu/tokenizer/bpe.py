@@ -202,3 +202,25 @@ def tokenize(
         ids = ids[:context_length]
         out[row, : len(ids)] = ids
     return out
+
+
+def shrink_context(tokens: np.ndarray, bucket: int = 16) -> np.ndarray:
+    """Slice a padded ``[B, context]`` token batch to the smallest multiple
+    of ``bucket`` covering every row's EOT position.
+
+    Exact, not approximate: the text tower is CAUSAL and pools at the
+    argmax-id (EOT) position (`/root/reference/clip/model.py:359`), so
+    positions after a row's pooling index can never influence its feature.
+    The reference pads every caption to 77 tokens (`clip/clip.py:204`) and
+    pays full quadratic attention on padding; prompt-templated captions are
+    typically under 24 tokens, so bucketed shrinking cuts the text tower's
+    work ~2.4x with bit-identical math (only fp reduction order within
+    unchanged contractions differs).  Host-side: call before device_put; a
+    handful of bucket lengths means a handful of compiled shapes.
+    """
+    t = np.asarray(tokens)
+    if t.ndim != 2 or t.shape[1] <= bucket:
+        return t
+    maxlen = int(t.argmax(axis=-1).max()) + 1
+    L = min(t.shape[1], -(-maxlen // bucket) * bucket)
+    return np.ascontiguousarray(t[:, :L])

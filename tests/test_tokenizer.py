@@ -92,3 +92,50 @@ def test_against_reference_tokenizer():
     ours = ClipTokenizer()
     for text in SAMPLES:
         assert ours.encode(text) == ref.encode(text), text
+
+
+def test_shrink_context_buckets_and_exactness():
+    """shrink_context slices to the bucketed max-EOT length, and the causal
+    text tower produces BIT-IDENTICAL features on the shrunk batch (positions
+    after the pooled EOT cannot influence it)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
+    from flyp_tpu.tokenizer import shrink_context, tokenize
+
+    # Helper semantics.
+    t = tokenize(["a photo of a dog.", "a photo of a cat."])
+    assert t.shape == (2, 77)
+    s = shrink_context(t)
+    assert s.shape[1] == 16 and np.array_equal(s, t[:, :16])
+    # 3-D (multi-caption stacks) and already-short batches pass through.
+    assert shrink_context(t.reshape(2, 1, 77)).shape == (2, 1, 77)
+    assert shrink_context(s).shape == s.shape
+    # A stray duplicate EOT after the first one is sliced off — pooling uses
+    # the FIRST argmax, so this is still exact.
+    t2 = t.copy()
+    t2[0, 76] = 49407
+    assert shrink_context(t2).shape == (2, 16)
+    # A row whose FIRST EOT sits at the end prevents shrinking.
+    t3 = t.copy()
+    t3[0] = 0
+    t3[0, 0] = 49406
+    t3[0, 1:76] = 320
+    t3[0, 76] = 49407
+    assert shrink_context(t3).shape == (2, 77)
+
+    # Exactness through a real (tiny) text tower.
+    cfg = MODEL_CONFIGS["ViT-B/16"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(cfg.vision, image_size=32, patch_size=16, width=64, layers=1, heads=1),
+        text=dataclasses.replace(cfg.text, width=64, heads=2, layers=2),
+    )
+    model = CLIPModel(cfg)
+    params = init_clip_params(model, 0)
+    full = model.apply({"params": params}, jnp.asarray(t), method="encode_text")
+    shrunk = model.apply({"params": params}, jnp.asarray(s), method="encode_text")
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(shrunk))
