@@ -78,9 +78,16 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
     template = get_template(cfg.template)
     classnames = get_classnames_for(cfg.train_dataset, cfg)
 
-    # Pre-tokenize all classes x templates -> [C, T, 77] (`ce_ablation.py:63-76`).
+    # Pre-tokenize all classes x templates -> [C, T, 77] (`ce_ablation.py:63-76`),
+    # then shrink the context ONCE over the whole prompt pool (exact: causal
+    # tower + EOT pooling) so every step's sampled [C, ctx] batch keeps one
+    # static compiled shape.
+    from flyp_tpu.tokenizer import shrink_context
+
     all_texts = np.stack([tokenize([t(c) for t in template]) for c in classnames])
     assert all_texts.shape[0] == len(classnames) and all_texts.shape[2] == 77
+    C, T, ctx = all_texts.shape
+    all_texts = shrink_context(all_texts.reshape(C * T, ctx)).reshape(C, T, -1)
 
     dataset = get_dataset_class(cfg.train_dataset)(
         preprocess=train_transform(image_size), location=cfg.data_location,

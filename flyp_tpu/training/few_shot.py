@@ -136,8 +136,12 @@ def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     step_fn = make_train_step(model, optimizer, donate=False)
 
+    from flyp_tpu.tokenizer import shrink_context
+
     images_j = jnp.asarray(ft_image)
-    tokens_j = jnp.asarray(ft_text)
+    # Exact context shrinking (causal tower + EOT pooling), same as the
+    # main trainer's loader path.
+    tokens_j = jnp.asarray(shrink_context(np.asarray(ft_text)))
 
     best = {"val": 0.0, "loss": 1e10, "params": None}
     for epoch in range(-1, cfg.epochs):
