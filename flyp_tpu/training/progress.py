@@ -84,10 +84,14 @@ def flyp_progress_validation(
         return _dc.replace(restored, opt_state=opt_state), snap["last_perform"], snap["step"]
 
     def train_on_guidance(state, guid, step):
+        from flyp_tpu.tokenizer import shrink_context
+
         loader = get_csv_loader(cfg, is_train=True, image_size=image_size, guidance=guid)
         loss_sum, batches = 0.0, 0
         for batch in loader:
-            state, metrics = step_fn(state, jnp.asarray(batch["image"]), jnp.asarray(batch["tokens"]))
+            # Exact context shrinking (same as the main trainer's loader).
+            tokens = shrink_context(np.asarray(batch["tokens"]))
+            state, metrics = step_fn(state, jnp.asarray(batch["image"]), jnp.asarray(tokens))
             loss_sum += float(metrics["loss"])
             step += 1
             batches += 1
