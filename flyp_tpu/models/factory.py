@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from flyp_tpu.models.clip import CLIPModel, init_clip_params
+from flyp_tpu.models.clip import CLIPModel, init_clip_variables
 from flyp_tpu.models.configs import CLIPConfig, MODEL_CONFIGS, resolve_model_name
 from flyp_tpu.models import convert
 
@@ -50,11 +50,12 @@ def build_clip_model(
         return model, variables
 
     model = CLIPModel(config, compute_dtype=compute_dtype, remat=cfg.remat)
-    params = init_clip_params(model, cfg.seed)
-    variables = {"params": params}
+    # ALL variable collections: ResNet towers carry batch_stats alongside
+    # params; dropping them breaks the mutable-BN apply on from-scratch runs.
+    variables = dict(init_clip_variables(model, cfg.seed))
 
     if load_path and os.path.isdir(load_path):
         from flyp_tpu.utils.checkpoint import restore_params
 
-        variables = {"params": restore_params(load_path, params)}
+        variables["params"] = restore_params(load_path, variables["params"])
     return model, variables

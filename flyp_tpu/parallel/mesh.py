@@ -75,6 +75,11 @@ def create_mesh_for_batch(config: Optional[MeshConfig], batch_size: int) -> Mesh
     config = config or MeshConfig()
     n = len(jax.devices())
     model, replica = config.model, config.replica
+    if replica > 1 and batch_size % replica != 0:
+        raise ValueError(
+            f"batch_size {batch_size} is not divisible by the replica axis "
+            f"({replica}); the batch cannot shard over a multi-slice mesh"
+        )
     data = config.data if config.data != -1 else n // (model * replica)
     while data > 1 and batch_size % (data * replica) != 0:
         data -= 1

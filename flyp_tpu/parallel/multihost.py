@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flyp_tpu.parallel.mesh import DATA_AXIS
+from flyp_tpu.parallel.mesh import batch_axes
 
 
 def process_count() -> int:
@@ -40,7 +40,10 @@ def global_batch_from_local(mesh: Mesh, local_batch: Dict[str, Any]) -> Dict[str
         if not isinstance(value, np.ndarray) or value.dtype == object:
             out[key] = value
             continue
-        sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (value.ndim - 1))))
+        # Shard over ALL batch axes (replica+data on multi-slice meshes):
+        # claiming replication over `replica` while per-process loaders feed
+        # different rows would mis-assemble the global batch.
+        sharding = NamedSharding(mesh, P(batch_axes(mesh), *([None] * (value.ndim - 1))))
         if jax.process_count() == 1:
             out[key] = jax.device_put(value, sharding)
         else:  # pragma: no cover - needs a real multi-host slice

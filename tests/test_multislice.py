@@ -152,3 +152,8 @@ def test_create_mesh_for_batch_respects_replica():
 
     with pytest.raises(ValueError):
         create_mesh(MeshConfig(data=3, model=1, replica=2))
+
+    # batch indivisible by the replica axis: clear error, not an opaque
+    # device_put failure after data bottoms out at 1.
+    with pytest.raises(ValueError, match="replica"):
+        create_mesh_for_batch(MeshConfig(data=-1, model=1, replica=2), batch_size=7)

@@ -178,3 +178,30 @@ def test_resnet_batch_stats_update():
     after = jax.tree_util.tree_leaves(state2.batch_stats)
     changed = any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after))
     assert changed, "BatchNorm running stats did not update in train mode"
+
+
+def test_factory_random_init_returns_batch_stats():
+    """build_clip_model's random-init path must surface batch_stats so a
+    from-scratch ResNet tower can run the mutable-BN train apply
+    (ADVICE r2: factory previously dropped them)."""
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+    from flyp_tpu.models.factory import build_clip_model
+
+    cfg = ExperimentConfig(model="RN50", compute_dtype="float32")
+    override = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, width=16, patch_size=None, layers=0, heads=8, resnet_layers=(1, 1, 1, 1)),
+        text=TextConfig(context_length=16, vocab_size=128, width=64, heads=1, layers=1),
+    )
+    model, variables = build_clip_model(cfg, config_override=override)
+    assert "batch_stats" in variables, "factory dropped the BN collection"
+    # ViT towers have no BN; the collection must simply be absent, not empty.
+    vit = ExperimentConfig(model="ViT-B/16", compute_dtype="float32")
+    vit_override = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(image_size=32, width=16, patch_size=16, layers=1, heads=2),
+        text=TextConfig(context_length=16, vocab_size=128, width=64, heads=1, layers=1),
+    )
+    _, vit_vars = build_clip_model(vit, config_override=vit_override)
+    assert set(vit_vars) == {"params"}
