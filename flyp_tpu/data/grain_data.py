@@ -51,6 +51,8 @@ class GrainLoader:
         num_workers: int,
         seed: int = 0,
         shard_by_process: bool = True,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,6 +61,10 @@ class GrainLoader:
         self.num_workers = num_workers
         self.seed = seed
         self.shard_by_process = shard_by_process
+        # Explicit overrides (tests simulate process_count>1 on one host);
+        # None defers to ShardByJaxProcess at iteration time.
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -74,6 +80,12 @@ class GrainLoader:
     def _shard_options(self):
         import grain
 
+        if self.process_count is not None:
+            return grain.sharding.ShardOptions(
+                shard_index=self.process_index or 0,
+                shard_count=self.process_count,
+                drop_remainder=True,
+            )
         if self.shard_by_process:
             # Multihost: each JAX process reads its own slice (split_by_node
             # semantics of `laion.py:464`).

@@ -51,6 +51,8 @@ class DataLoader:
         num_workers: int = 8,
         seed: int = 0,
         prefetch_batches: int = 4,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -60,32 +62,56 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        # Multi-host sharding (`wds.split_by_node` semantics, laion.py:464):
+        # every process computes the SAME seeded global order, then strides
+        # over it, so coverage is disjoint and exhaustive per epoch.
+        # Defaults come from the JAX runtime at iteration time.
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _proc(self) -> tuple[int, int]:
+        if self.process_count is not None:
+            return self.process_index or 0, self.process_count
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:  # pragma: no cover - jax always importable here
+            return 0, 1
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __len__(self) -> int:
+        rank, count = self._proc()
         n = len(self.dataset)
+        n = (n - rank + count - 1) // count  # this process's share of rows
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        rank, count = self._proc()
+        if count > 1:
+            order = order[rank::count]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = self._epoch_order()
         n_batches = len(self)
         ss = np.random.SeedSequence([self.seed, self.epoch])
-        sample_seeds = ss.generate_state(len(order), dtype=np.uint64)
+        # Augmentation seeds are keyed by DATASET index (not position in the
+        # epoch order), so a sample's augmentation stream is identical under
+        # any process/worker layout.
+        sample_seeds = ss.generate_state(len(self.dataset), dtype=np.uint64)
 
         get = getattr(self.dataset, "get", None)
 
         def fetch(i: int):
             idx = int(order[i])
             if get is not None:
-                return get(idx, np.random.default_rng(sample_seeds[i]))
+                return get(idx, np.random.default_rng(sample_seeds[idx]))
             return self.dataset[idx]
 
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:

@@ -48,6 +48,8 @@ class TFDataCsvLoader:
         seed: int = 0,
         drop_last: bool = True,
         shuffle_buffer: int = 50_000,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.paths = dataframe["filepath"].astype(str).tolist()
         self.tokens = tokenize([str(t) for t in dataframe["title"]])
@@ -58,12 +60,29 @@ class TFDataCsvLoader:
         self.drop_last = drop_last
         self.shuffle_buffer = min(shuffle_buffer, len(self.paths))
         self.epoch = 0
+        # Multi-host sharding: the dataset shards AFTER the (identically
+        # seeded) shuffle, so each JAX process decodes a disjoint stride of
+        # the epoch (`wds.split_by_node` semantics, laion.py:464).
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _proc(self) -> tuple:
+        if self.process_count is not None:
+            return self.process_index or 0, self.process_count
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:  # pragma: no cover
+            return 0, 1
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __len__(self) -> int:
+        rank, count = self._proc()
         n = len(self.paths)
+        n = (n - rank + count - 1) // count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _build(self):
@@ -106,6 +125,12 @@ class TFDataCsvLoader:
         ds = tf.data.Dataset.from_tensor_slices((tf.constant(self.paths), tf.constant(self.tokens)))
         if self.train:
             ds = ds.shuffle(self.shuffle_buffer, seed=seed, reshuffle_each_iteration=False)
+        rank, count = self._proc()
+        if count > 1:
+            # Same seed on every host -> identical global order; the strided
+            # shard then gives disjoint, exhaustive coverage, and sharding
+            # BEFORE map avoids decoding other hosts' rows.
+            ds = ds.shard(count, rank)
         ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(self.batch_size, drop_remainder=self.drop_last)
         ds = ds.prefetch(tf.data.AUTOTUNE)

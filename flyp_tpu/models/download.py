@@ -37,11 +37,36 @@ MODELS = {
     "ViT-L/14@336px": "https://openaipublic.azureedge.net/clip/models/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
 }
 
+#: open_clip LAION-400M (e31) releases — the dash-spelled models of the
+#: reference (`/root/reference/src/models/modeling.py:13-22` loads
+#: ``pretrained='laion400m_e31'``).  The filename's trailing hex segment is
+#: the torch.hub-style sha256 prefix, verified on download like the OpenAI
+#: pins (a full digest is recorded in the cache on first successful fetch).
+OPEN_CLIP_MODELS = {
+    "ViT-B-32": "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_32-quickgelu-laion400m_e31-d867053b.pt",
+    "ViT-B-16": "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_b_16-laion400m_e31-00efa78f.pt",
+    "ViT-L-14": "https://github.com/mlfoundations/open_clip/releases/download/v0.2-weights/vit_l_14-laion400m_e31-69988bb6.pt",
+}
+
 _DEFAULT_CACHE = os.path.join(os.path.expanduser("~"), ".cache", "flyp_tpu")
 
 
 def available_models() -> List[str]:
     return list(MODELS)
+
+
+def _expected_digest(url: str) -> str:
+    """Digest pin embedded in the URL: OpenAI releases carry the full sha256
+    as the second-to-last path segment; open_clip / torch.hub releases embed
+    a sha256 prefix as the filename's trailing ``-<hex>`` segment."""
+    segment = url.split("/")[-2]
+    if len(segment) == 64 and all(c in "0123456789abcdef" for c in segment):
+        return segment
+    stem = os.path.basename(url).rsplit(".", 1)[0]
+    suffix = stem.rsplit("-", 1)[-1]
+    if len(suffix) >= 8 and all(c in "0123456789abcdef" for c in suffix):
+        return suffix
+    raise ValueError(f"no sha256 pin recognizable in {url!r}; pass expected_sha256")
 
 
 def _sha256(path: str) -> str:
@@ -60,13 +85,13 @@ def download_url(url: str, cache_dir: Optional[str] = None, expected_sha256: Opt
     """
     cache_dir = cache_dir or _DEFAULT_CACHE
     os.makedirs(cache_dir, exist_ok=True)
-    expected = expected_sha256 or url.split("/")[-2]
+    expected = expected_sha256 or _expected_digest(url)
     target = os.path.join(cache_dir, os.path.basename(url))
 
     if os.path.exists(target) and not os.path.isfile(target):
         raise RuntimeError(f"{target} exists and is not a regular file")
     if os.path.isfile(target):
-        if _sha256(target) == expected:
+        if _sha256(target).startswith(expected):
             return target
         logger.warning("%s exists but its sha256 does not match; re-downloading", target)
 
@@ -85,7 +110,7 @@ def download_url(url: str, cache_dir: Optional[str] = None, expected_sha256: Opt
                     if total and done % (64 << 20) < (1 << 20):
                         logger.info("downloading %s: %d/%d MiB", os.path.basename(url), done >> 20, total >> 20)
             actual = _sha256(tmp)
-            if actual != expected:
+            if not actual.startswith(expected):
                 raise RuntimeError(f"downloaded {url} but sha256 {actual} != expected {expected}")
             os.replace(tmp, target)
         finally:
@@ -95,15 +120,18 @@ def download_url(url: str, cache_dir: Optional[str] = None, expected_sha256: Opt
 
 
 def download_model(name: str, cache_dir: Optional[str] = None) -> str:
-    """Download a named OpenAI CLIP checkpoint; returns the local ``.pt`` path.
+    """Download a named CLIP checkpoint; returns the local ``.pt`` path.
 
-    Dash-spelled names (``ViT-B-16``) select open_clip LAION weights in the
-    reference — those live on the HF hub and must be supplied locally via
-    ``--clip_load``; only the slash-spelled OpenAI releases are downloadable
-    here.
+    Slash-spelled names resolve to the OpenAI releases; dash-spelled names
+    (``ViT-B-16``) resolve to the open_clip LAION-400M e31 releases, matching
+    the reference's spelling convention
+    (`/root/reference/src/models/modeling.py:13-22`).  Both are sha-pinned;
+    ``models/convert.py`` understands either checkpoint layout.
     """
     if name in MODELS:
         return download_url(MODELS[name], cache_dir)
+    if name in OPEN_CLIP_MODELS:
+        return download_url(OPEN_CLIP_MODELS[name], cache_dir)
     from flyp_tpu.models.configs import resolve_model_name
 
     key, source = resolve_model_name(name)

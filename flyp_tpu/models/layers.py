@@ -61,9 +61,12 @@ class LayerNormFp32(nn.Module):
 class MultiHeadAttention(nn.Module):
     """Self-attention with a single fused QKV matmul.
 
-    One ``[B, L, D] @ [D, 3D]`` projection keeps the MXU busy with a large
-    matmul instead of three small ones; layout matches torch's
-    ``nn.MultiheadAttention`` in_proj so checkpoint conversion is a reshape.
+    One ``[B, L, D] @ [D, 3, D]`` projection keeps the MXU busy with a large
+    matmul instead of three small ones; the kernel layout separates the
+    q/k/v axis so the last (output-feature) axis is head-major — a plain
+    dim-sharding of that axis over the ``model`` mesh axis IS head-group
+    tensor parallelism.  Torch ``nn.MultiheadAttention`` in_proj converts
+    with a transpose + free reshape.
     """
 
     width: int
@@ -76,15 +79,18 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.width // self.heads
 
         qkv_kernel = self.param(
-            "qkv_kernel", nn.initializers.normal(self.width ** -0.5), (D, 3 * D), jnp.float32
+            "qkv_kernel", nn.initializers.normal(self.width ** -0.5), (D, 3, D), jnp.float32
         )
-        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * D,), jnp.float32)
+        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3, D), jnp.float32)
         out_kernel = self.param(
             "out_kernel", nn.initializers.normal(self.width ** -0.5), (D, D), jnp.float32
         )
         out_bias = self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32)
 
-        qkv = _einsum("bld,de->ble", x, qkv_kernel) + qkv_bias.astype(x.dtype)
+        # [B, L, 3, D]: keeping q/k/v and head-features as separate axes lets
+        # GSPMD keep head shards local under TP (a [D, 3D] flatten would mix
+        # the sharded axis and force a gather).
+        qkv = _einsum("bld,dte->blte", x, qkv_kernel) + qkv_bias.astype(x.dtype)
 
         from flyp_tpu.ops.attention import _default_impl
 
@@ -94,12 +100,13 @@ class MultiHeadAttention(nn.Module):
             # on CPU backends lets the same path run in tests.
             from flyp_tpu.ops.fused_qkv_attention import fused_qkv_attention
 
-            o = fused_qkv_attention(qkv, self.heads, self.causal, jax.default_backend() == "cpu")
+            o = fused_qkv_attention(
+                qkv.reshape(B, L, 3 * D), self.heads, self.causal, jax.default_backend() == "cpu"
+            )
         else:
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q = q.reshape(B, L, self.heads, head_dim)
-            k = k.reshape(B, L, self.heads, head_dim)
-            v = v.reshape(B, L, self.heads, head_dim)
+            q = qkv[:, :, 0].reshape(B, L, self.heads, head_dim)
+            k = qkv[:, :, 1].reshape(B, L, self.heads, head_dim)
+            v = qkv[:, :, 2].reshape(B, L, self.heads, head_dim)
             o = multi_head_attention(q, k, v, causal=self.causal)
             o = o.reshape(B, L, D)
 
@@ -143,8 +150,8 @@ class _AttnParams(nn.Module):
     def __call__(self):
         D = self.width
         return (
-            self.param("qkv_kernel", nn.initializers.normal(D ** -0.5), (D, 3 * D), jnp.float32),
-            self.param("qkv_bias", nn.initializers.zeros, (3 * D,), jnp.float32),
+            self.param("qkv_kernel", nn.initializers.normal(D ** -0.5), (D, 3, D), jnp.float32),
+            self.param("qkv_bias", nn.initializers.zeros, (3, D), jnp.float32),
             self.param("out_kernel", nn.initializers.normal(D ** -0.5), (D, D), jnp.float32),
             self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32),
         )

@@ -17,6 +17,16 @@ LayerNorm backward) runs in a second Pallas kernel.  The only recomputes
 are cheap by construction: LN from ``x`` (VPU), and the probability
 matrix from the saved ``qkv`` + per-(row, head) log-sum-exp stats — one
 score matmul and one exp, no softmax max/sum/div passes.
+
+Tensor parallelism (round 3): the QKV weight is ``[D, 3, D]`` — the last
+axis is head-major output features, so sharding it over the mesh's
+``model`` axis IS head-group TP.  The ``custom_partitioning`` rules
+detect that sharding and run the SAME kernels per shard with
+``H_local = H / n`` heads (every per-head quantity — o, lse, saved qkv,
+do, dqkv, dwqkv — shards along its head-major axis with the weights); the
+only cross-shard communication is one psum of the partial out-projection
+in forward and one psum of the (linear-in-dY) LayerNorm backward outputs.
+No weight is ever all-gathered.
 """
 
 from __future__ import annotations
@@ -82,10 +92,14 @@ def _layer_norm(x32, scale_ref, bias_ref):
     return xhat, rstd, y32
 
 
-def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref, lse_ref):
+def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref, lse_ref):
+    # D = residual-stream width; Dv = per-tower (q/k/v) inner width.  They
+    # differ under head-group TP, where this program holds H = H_global/n
+    # heads and Dv = D/n columns of each tower.
     D = x_ref.shape[-1]
+    Dv = wqkv_ref.shape[1] // 3
     Lp = x_ref.shape[1]
-    head_dim = D // H
+    head_dim = Dv // H
     xf = x_ref[:].reshape(G * Lp, D)  # G items flattened: big row-wise matmuls
     _, _, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
     y = y32.astype(xf.dtype)
@@ -93,27 +107,27 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         + bqkv_ref[0, :]
     ).astype(xf.dtype)
-    # One [G*Lp, 3D] zeroing of the padding rows replaces the three per-head
+    # One [G*Lp, 3Dv] zeroing of the padding rows replaces the three per-head
     # q/k/v zeros AND makes the additive mask NaN-safe (block padding reads
     # are undefined; a NaN k row would poison valid rows through the softmax
     # row-max, which the old value-replacing `where` mask was immune to).
     qkvf = _row_zero_flat(qkvf, L, Lp)
     # Saved for backward: re-deriving qkv there would cost a full extra
     # matmul per layer (measured: it cancels the fusion win entirely).
-    qkv_ref[:] = qkvf.reshape(G, Lp, 3 * D)
+    qkv_ref[:] = qkvf.reshape(G, Lp, 3 * Dv)
     # No per-head row-zeroing needed: masked score COLUMNS are exactly 0
     # after softmax, and every padding ROW of o/out is dropped when the
     # block writes back to the unpadded [B, L, D] arrays.
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         qkv = qkvf[g * Lp : (g + 1) * Lp]
-        # sm_scale folded into q once per item ([Lp, D] pass) — no [L, L]
+        # sm_scale folded into q once per item ([Lp, Dv] pass) — no [L, L]
         # scale pass per head.  The saved lse is relative to the SCALED
         # scores; the backward pre-scales q the same way.
-        qs = qkv[:, :D] * scale
+        qs = qkv[:, :Dv] * scale
         lse_cols = []
         for h in range(H):
-            _, k, v = _heads_2d(qkv, D, head_dim, h)
+            _, k, v = _heads_2d(qkv, Dv, head_dim, h)
             q = qs[:, h * head_dim : (h + 1) * head_dim]
             # Late renormalization + saved log-sum-exp: the [L, L] division
             # becomes an [L, head_dim] scale, and the backward reconstructs
@@ -131,12 +145,15 @@ def _fwd_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                 / l
             ).astype(o_ref.dtype)
         lse_ref[g] = jnp.concatenate(lse_cols, axis=1)
-    of = o_ref[:].reshape(G * Lp, D)
-    proj = (
-        jax.lax.dot_general(of, wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        + bout_ref[0, :]
-    )
-    out_ref[:] = (xf.astype(jnp.float32) + proj).astype(out_ref.dtype).reshape(G, Lp, D)
+    of = o_ref[:].reshape(G * Lp, Dv)
+    proj = jax.lax.dot_general(of, wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if partial:
+        # Head-sharded TP: this program's projection covers only its head
+        # group's rows of Wout.  The residual x and bout are added ONCE,
+        # after the cross-shard psum, by the partition lowering.
+        out_ref[:] = proj.astype(out_ref.dtype).reshape(G, Lp, D)
+    else:
+        out_ref[:] = (xf.astype(jnp.float32) + proj + bout_ref[0, :]).astype(out_ref.dtype).reshape(G, Lp, D)
 
 
 def _bwd_kernel(
@@ -146,9 +163,10 @@ def _bwd_kernel(
     dqkv_scr,
 ):
     D = x_ref.shape[-1]
+    Dv = qkv_ref.shape[-1] // 3
     Lp = x_ref.shape[1]
-    head_dim = D // H
-    sm_scale = head_dim ** -0.5
+    head_dim = Dv // H
+    sm_scale = scale
     b_idx = pl.program_id(0)
 
     @pl.when(b_idx == 0)
@@ -174,14 +192,14 @@ def _bwd_kernel(
         # NaN-safety for the additive mask, see the forward kernel.
         qkv = _row_zero(qkv_ref[g], L)
         lse = _row_zero(lse_ref[g].astype(jnp.float32), L)
-        # do zeroed ONCE per item ([Lp, D]) instead of per head.
+        # do zeroed ONCE per item ([Lp, Dv]) instead of per head.
         do_f = _row_zero(do_ref[g].astype(xf.dtype), L)
         # sm_scale folded into q (see forward): scaled scores match the
         # saved lse directly, and no [L, L] scale pass exists in ds either.
-        qs = qkv[:, :D] * sm_scale
+        qs = qkv[:, :Dv] * sm_scale
         row0 = g * Lp
         for h in range(H):
-            _, k, v = _heads_2d(qkv, D, head_dim, h)
+            _, k, v = _heads_2d(qkv, Dv, head_dim, h)
             q = qs[:, h * head_dim : (h + 1) * head_dim]
             do = do_f[:, h * head_dim : (h + 1) * head_dim]
 
@@ -206,8 +224,8 @@ def _bwd_kernel(
             )
             dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             dqkv_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_scr.dtype)
-            dqkv_scr[row0 : row0 + Lp, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
-            dqkv_scr[row0 : row0 + Lp, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(
+            dqkv_scr[row0 : row0 + Lp, Dv + h * head_dim : Dv + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
+            dqkv_scr[row0 : row0 + Lp, 2 * Dv + h * head_dim : 2 * Dv + (h + 1) * head_dim] = dv.astype(
                 dqkv_scr.dtype
             )
     dqkv = dqkv_scr[:]
@@ -218,7 +236,10 @@ def _bwd_kernel(
     )
     dbqkv_ref[0, :] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
 
-    # Back through the projection and the fp32 LayerNorm island.
+    # Back through the projection and the fp32 LayerNorm island.  Under TP
+    # dY is PARTIAL (this shard's head-group columns of Wqkv); everything
+    # below — dg, db, dxhat, dx — is linear in dY, so the partition lowering
+    # simply psums these outputs over the model axis.
     dY = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     dY = _row_zero_flat(dY, L, Lp)
     xhat = _row_zero_flat(xhat, L, Lp)
@@ -232,19 +253,20 @@ def _bwd_kernel(
     dx_ref[:] = _row_zero_flat(dx, L, Lp).astype(dx_ref.dtype).reshape(G, Lp, D)
 
 
-def _heads_2d(qkv, D, head_dim, h):
+def _heads_2d(qkv, Dv, head_dim, h):
     q = qkv[:, h * head_dim : (h + 1) * head_dim]
-    k = qkv[:, D + h * head_dim : D + (h + 1) * head_dim]
-    v = qkv[:, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim]
+    k = qkv[:, Dv + h * head_dim : Dv + (h + 1) * head_dim]
+    v = qkv[:, 2 * Dv + h * head_dim : 2 * Dv + (h + 1) * head_dim]
     return q, k, v
 
 
-def _fwd_infer_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_scr):
+def _fwd_infer_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_scr):
     """Inference forward: same math as _fwd_kernel, but the backward
     residuals (qkv, o) are never written to HBM — o assembles in scratch."""
     D = x_ref.shape[-1]
+    Dv = wqkv_ref.shape[1] // 3
     Lp = x_ref.shape[1]
-    head_dim = D // H
+    head_dim = Dv // H
     xf = x_ref[:].reshape(G * Lp, D)
     _, _, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
     y = y32.astype(xf.dtype)
@@ -256,23 +278,24 @@ def _fwd_infer_kernel(L, H, G, causal, scale, x_ref, g_ref, b_ref, wqkv_ref, bqk
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         qkv = qkvf[g * Lp : (g + 1) * Lp]
-        qs = qkv[:, :D] * scale
+        qs = qkv[:, :Dv] * scale
         row0 = g * Lp
         for h in range(H):
-            _, k, v = _heads_2d(qkv, D, head_dim, h)
+            _, k, v = _heads_2d(qkv, Dv, head_dim, h)
             p = _softmax_masked(qs[:, h * head_dim : (h + 1) * head_dim], k, bias)
             o_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
                 p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ).astype(o_scr.dtype)
-    proj = (
-        jax.lax.dot_general(o_scr[:], wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        + bout_ref[0, :]
-    )
-    out_ref[:] = (xf.astype(jnp.float32) + proj).astype(out_ref.dtype).reshape(G, Lp, D)
+    proj = jax.lax.dot_general(o_scr[:], wout_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if partial:
+        out_ref[:] = proj.astype(out_ref.dtype).reshape(G, Lp, D)
+    else:
+        out_ref[:] = (xf.astype(jnp.float32) + proj + bout_ref[0, :]).astype(out_ref.dtype).reshape(G, Lp, D)
 
 
-def _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+def _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret, partial_out=False):
     B, L, D = x.shape
+    Dv = wqkv.shape[-1]
     Lp = _pad_len(L, x.dtype)
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
@@ -281,27 +304,27 @@ def _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal,
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dv, D), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
     ]
-    head_dim = D // heads
+    head_dim = Dv // heads
     return pl.pallas_call(
-        functools.partial(_fwd_infer_kernel, L, heads, G, causal, head_dim ** -0.5),
+        functools.partial(_fwd_infer_kernel, L, heads, G, causal, head_dim ** -0.5, partial_out),
         grid=(B // G,),
         in_specs=specs,
         out_specs=pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
-        scratch_shapes=[pltpu.VMEM((G * Lp, D), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((B, L, D), jnp.float32 if partial_out else x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * Lp, Dv), x.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         x,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.astype(x.dtype),
-        bqkv.reshape(1, 3 * D).astype(jnp.float32),
+        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
+        bqkv.reshape(1, 3 * Dv).astype(jnp.float32),
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
@@ -323,7 +346,9 @@ def attention_block_inference(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_ke
 
 def _infer_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
     if jax.device_count() > 1:
-        out = _partitioned("fwd_infer", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+        out = _partitioned("fwd_infer", heads, wqkv.shape[-1] // heads, causal, interpret)(
+            x, ln_scale, ln_bias, wqkv, bqkv, wout, bout
+        )
     else:
         out = _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout)
@@ -344,14 +369,18 @@ def attention_block(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_
     """``x + out_proj(attention(LN(x) @ Wqkv + bqkv))`` as one fused op.
 
     ``x`` is ``[B, L, D]``; weights are the CLIP block params (fp32 in the
-    tree, cast to the activation dtype for the MXU)."""
+    tree, cast to the activation dtype for the MXU).  ``qkv_kernel`` is
+    ``[D, 3, D]`` / ``qkv_bias`` ``[3, D]`` — q|k|v on the middle axis,
+    head-major features on the last, so the ``model`` mesh axis dim-shards
+    it into head groups (see module docstring)."""
     out, _ = _block_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
                         heads, causal, interpret)
     return out
 
 
-def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
+def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret, partial_out=False):
     B, L, D = x.shape
+    Dv = wqkv.shape[-1]
     Lp = _pad_len(L, x.dtype)
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
@@ -360,27 +389,27 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
-        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
-        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # bqkv
-        pl.BlockSpec((D, D), const2, memory_space=pltpu.VMEM),         # Wout
+        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # Wqkv
+        pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),    # bqkv
+        pl.BlockSpec((Dv, D), const2, memory_space=pltpu.VMEM),        # Wout
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # bout
     ]
     out_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, 3 * Dv), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),  # lse stats
     ]
-    head_dim = D // heads
+    head_dim = Dv // heads
     out, o, qkv, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, L, heads, G, causal, head_dim ** -0.5),
+        functools.partial(_fwd_kernel, L, heads, G, causal, head_dim ** -0.5, partial_out),
         grid=(B // G,),
         in_specs=specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, D), x.dtype),
-            jax.ShapeDtypeStruct((B, L, D), x.dtype),
-            jax.ShapeDtypeStruct((B, L, 3 * D), x.dtype),
+            jax.ShapeDtypeStruct((B, L, D), jnp.float32 if partial_out else x.dtype),
+            jax.ShapeDtypeStruct((B, L, Dv), x.dtype),
+            jax.ShapeDtypeStruct((B, L, 3 * Dv), x.dtype),
             jax.ShapeDtypeStruct((B, L, heads), jnp.float32),
         ],
         # ~20-35MB resident with G-batched blocks + fp32 accumulators;
@@ -392,19 +421,23 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         x,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.astype(x.dtype),
-        bqkv.reshape(1, 3 * D).astype(jnp.float32),
+        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
+        bqkv.reshape(1, 3 * Dv).astype(jnp.float32),
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
-    return out, o, qkv, lse
+    # Saved qkv leaves as [B, L, 3, Dv] (a free reshape): its last axis is
+    # head-major, so under TP the saved residual dim-shards with the weights.
+    return out, o, qkv.reshape(B, L, 3, Dv), lse
 
 
 def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
     from jax.ad_checkpoint import checkpoint_name
 
     if jax.device_count() > 1:
-        out, o, qkv, lse = _partitioned("fwd", heads, causal, interpret)(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+        out, o, qkv, lse = _partitioned("fwd", heads, wqkv.shape[-1] // heads, causal, interpret)(
+            x, ln_scale, ln_bias, wqkv, bqkv, wout, bout
+        )
     else:
         out, o, qkv, lse = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
     # Checkpoint-name tags let a remat policy (layers.Transformer) SAVE the
@@ -419,29 +452,31 @@ def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inte
     return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse)
 
 
-def _bwd_call(x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret):
+def _bwd_call(x, do, qkv4, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret):
     B, L, D = x.shape
+    Dv = wqkv.shape[-1]
+    qkv = qkv4.reshape(B, L, 3 * Dv)
     Lp = _pad_len(L, x.dtype)
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
     in_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
-        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # do
-        pl.BlockSpec((G, Lp, 3 * D), row, memory_space=pltpu.VMEM),    # qkv (fwd-saved)
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),       # do
+        pl.BlockSpec((G, Lp, 3 * Dv), row, memory_space=pltpu.VMEM),   # qkv (fwd-saved)
         pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),    # lse (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
-        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # Wqkv
+        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # Wqkv
     ]
     out_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
-        pl.BlockSpec((D, 3 * D), const2, memory_space=pltpu.VMEM),     # dWqkv
-        pl.BlockSpec((1, 3 * D), const2, memory_space=pltpu.VMEM),     # dbqkv
+        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # dWqkv
+        pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),    # dbqkv
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dscale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dbias
     ]
-    head_dim = D // heads
+    head_dim = Dv // heads
     dx_ln, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, L, heads, G, causal, head_dim ** -0.5),
         grid=(B // G,),
@@ -449,12 +484,12 @@ def _bwd_call(x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
-            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((D, 3 * Dv), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * Dv), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * Lp, 3 * D), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((G * Lp, 3 * Dv), x.dtype)],
         # ~20-35MB resident with G-batched blocks + fp32 accumulators;
         # the 16MB Mosaic default is a soft limit (measured: 36MB-resident
         # kernels run fine on v5e).
@@ -467,51 +502,115 @@ def _bwd_call(x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret
         lse,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.astype(x.dtype),
+        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
     )
-    return dx_ln, dwqkv, dbqkv, dscale, dbias
+    return dx_ln, dwqkv.reshape(D, 3, Dv), dbqkv.reshape(3, Dv), dscale, dbias
+
+
+def _spec_dim(arg_shapes, i, dim):
+    spec = arg_shapes[i].sharding.spec
+    return spec[dim] if len(spec) > dim else None
 
 
 def _spec_dim0(arg_shapes):
-    spec = arg_shapes[0].sharding.spec
-    return spec[0] if len(spec) else None
+    return _spec_dim(arg_shapes, 0, 0)
 
 
-def _force_shardings(mesh, b, shapes):
-    """Batch-dim sharding on rank-3 arrays, replication everywhere else."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _axes_tuple(a):
+    if a is None:
+        return ()
+    return a if isinstance(a, tuple) else (a,)
+
+
+def _axes_size(mesh, a) -> int:
+    n = 1
+    for ax in _axes_tuple(a):
+        n *= mesh.shape[ax]
+    return n
+
+
+def _named(mesh, spec):
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, spec)
+
+
+def _force_shardings(mesh, b, shapes, batch_flags):
+    """Batch-dim sharding where flagged, replication everywhere else (the
+    [D, 3, D] weight is rank-3 but NOT batch-led, so rank is no signal)."""
+    from jax.sharding import PartitionSpec as P
 
     out = []
-    for s in shapes:
+    for s, is_batch in zip(shapes, batch_flags):
         rank = len(s.shape)
-        spec = P(b, *([None] * (rank - 1))) if rank == 3 else P(*([None] * rank))
-        out.append(NamedSharding(mesh, spec))
+        spec = P(b, *([None] * (rank - 1))) if is_batch else P(*([None] * rank))
+        out.append(_named(mesh, spec))
     return tuple(out)
 
 
-# Shardy rules: 'b' ties the rank-3 batch dims (passthrough); every other
-# dim is a unique need-replication factor, so the partitioner gathers any
-# feature/length sharding before the kernel.
-_FWD_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12, b f13 f14, b f15 f16, b f17 f18"
-_FWD_INFER_RULE = "b f1 f2, f3, f4, f5 f6, f7, f8 f9, f10 -> b f11 f12"
-_BWD_RULE = "b f1 f2, b f3 f4, b f5 f6, b f7 f8, f9, f10, f11 f12 -> b f13 f14, f15 f16, f17 f18, f19 f20, f21 f22"
+# Which operands/results carry the batch on dim 0, per kernel kind.
+_BATCH_ARGS = {
+    "fwd": (True, False, False, False, False, False, False),
+    "fwd_infer": (True, False, False, False, False, False, False),
+    "bwd": (True, True, True, True, False, False, False),
+}
+_BATCH_RES = {
+    "fwd": (True, True, True, True),
+    "fwd_infer": (True,),
+    "bwd": (True, False, False, False, False),
+}
+
+
+# Shardy rules: 'b' ties the rank>=3 batch dims (passthrough), and 'h' —
+# shared between the head-major feature axes (Wqkv/bqkv last dim, Wout
+# rows, o/do features, saved qkv features) and the lse head axis — carries
+# head-group tensor-parallel sharding through the op.  'i' (head_dim, the
+# minor sub-factor of every '(h i)' compound) and every f/l/t factor are
+# need-replication: GSPMD gathers any length/stream-feature sharding, but
+# head shards stay put.
+_FWD_RULE = (
+    "b l1 f1, f2, f3, f4 t1 (h i), t2 (h i), (h i) f5, f6 "
+    "-> b l2 f7, b l3 (h i), b l4 t3 (h i), b l5 h"
+)
+_FWD_INFER_RULE = "b l1 f1, f2, f3, f4 t1 (h i), t2 (h i), (h i) f5, f6 -> b l2 f7"
+_BWD_RULE = (
+    "b l1 f1, b l2 (h i), b l3 t1 (h i), b l4 h, f2, f3, f4 t2 (h i) "
+    "-> b l5 f5, f6 t3 (h i), t4 (h i), c1 f7, c2 f8"
+)
 
 
 def _factors(rule):
     # Shardy requires special-factor indices sorted by first appearance.
+    # 'b' (batch) and 'h' (head groups) are passthrough — everything else
+    # needs replication.
     seen = []
-    for t in rule.replace(",", " ").replace("->", " ").split():
-        if t != "b" and t not in seen:
+    for t in rule.replace(",", " ").replace("->", " ").replace("(", " ").replace(")", " ").split():
+        if t not in ("b", "h") and t not in seen:
             seen.append(t)
     return tuple(seen)
 
 
 @functools.lru_cache()
-def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
-    """GSPMD-partitionable wrappers (same treatment as fused_qkv_attention):
-    batch sharding passes through; params and length/feature dims replicate;
-    the backward's weight/bias grads are psum-reduced over the batch axis."""
+def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: bool):
+    """GSPMD/Shardy-partitionable wrappers.
+
+    Batch sharding passes through (each data shard runs the kernel on its
+    rows).  When the ``[D, 3, D]`` QKV weight's last axis is sharded over a
+    mesh axis (head-group TP, `parallel/tp.py`), the lowering runs the
+    kernels with ``H/n`` local heads per shard — no weight all-gather; the
+    forward psums the partial out-projection, the backward psums the
+    (linear-in-dY) LayerNorm outputs.  Otherwise params and length/feature
+    dims replicate, and the backward's weight/bias grads are psum-reduced
+    over the batch axes."""
     from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import PartitionSpec as P
+
+    def model_axes(mesh, arg_shapes, wqkv_index):
+        m = _spec_dim(arg_shapes, wqkv_index, 2)
+        n = _axes_size(mesh, m)
+        if n <= 1 or heads % n != 0:
+            return None, 1
+        return m, n
 
     if kind in ("fwd", "fwd_infer"):
         call = _fwd_call if kind == "fwd" else _fwd_infer_call
@@ -519,17 +618,52 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
 
         single = kind == "fwd_infer"
 
+        def tp_results(mesh, b, m):
+            if single:
+                return _named(mesh, P(b, None, None))
+            return (
+                _named(mesh, P(b, None, None)),        # out (replicated features)
+                _named(mesh, P(b, None, m)),           # o (head-major features)
+                _named(mesh, P(b, None, None, m)),     # saved qkv
+                _named(mesh, P(b, None, m)),           # lse (head axis)
+            )
+
         def partition(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
-            args_sh = _force_shardings(mesh, b, arg_shapes)
+            m, n = model_axes(mesh, arg_shapes, wqkv_index=3)
             res = [result_shape] if single else result_shape
-            res_sh = _force_shardings(mesh, b, res)
-            return mesh, impl, (res_sh[0] if single else res_sh), args_sh
+            if m is None:
+                args_sh = _force_shardings(mesh, b, arg_shapes, _BATCH_ARGS[kind])
+                res_sh = _force_shardings(mesh, b, res, _BATCH_RES[kind])
+                return mesh, impl, (res_sh[0] if single else res_sh), args_sh
+
+            args_sh = (
+                _named(mesh, P(b, None, None)),    # x
+                _named(mesh, P(None)),             # ln scale
+                _named(mesh, P(None)),             # ln bias
+                _named(mesh, P(None, None, m)),    # Wqkv — head groups
+                _named(mesh, P(None, m)),          # bqkv
+                _named(mesh, P(m, None)),          # Wout — head-group rows
+                _named(mesh, P(None)),             # bout
+            )
+            Hl = heads // n
+
+            def lower(x, ln_s, ln_b, wqkv, bqkv, wout, bout):
+                r = call(x, ln_s, ln_b, wqkv, bqkv, wout, bout, Hl, causal, interpret, partial_out=True)
+                partial = r if single else r[0]
+                proj = jax.lax.psum(partial, _axes_tuple(m))
+                out = (x.astype(jnp.float32) + proj + bout).astype(x.dtype)
+                return out if single else (out, r[1], r[2], r[3])
+
+            return mesh, lower, tp_results(mesh, b, m), args_sh
 
         def infer(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
+            m, _ = model_axes(mesh, arg_shapes, wqkv_index=3)
+            if m is not None:
+                return tp_results(mesh, b, m)
             res = [result_shape] if single else result_shape
-            sh = _force_shardings(mesh, b, res)
+            sh = _force_shardings(mesh, b, res, _BATCH_RES[kind])
             return sh[0] if single else sh
 
     else:
@@ -537,32 +671,80 @@ def _partitioned(kind: str, heads: int, causal: bool, interpret: bool):
         def impl(*a):
             return _bwd_call(*a, heads, causal, interpret)
 
+        def tp_results(mesh, b, m):
+            return (
+                _named(mesh, P(b, None, None)),     # dx
+                _named(mesh, P(None, None, m)),     # dWqkv stays sharded
+                _named(mesh, P(None, m)),           # dbqkv
+                _named(mesh, P(None, None)),        # dscale
+                _named(mesh, P(None, None)),        # dbias
+            )
+
         def partition(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
-            args_sh = _force_shardings(mesh, b, arg_shapes)
-            res_sh = _force_shardings(mesh, b, result_shape)
+            m, n = model_axes(mesh, arg_shapes, wqkv_index=6)
+            if m is None:
+                args_sh = _force_shardings(mesh, b, arg_shapes, _BATCH_ARGS["bwd"])
+                res_sh = _force_shardings(mesh, b, result_shape, _BATCH_RES["bwd"])
 
-            def lower(*args):
-                dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(*args, heads, causal, interpret)
+                def lower(*args):
+                    dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(*args, heads, causal, interpret)
+                    if b is not None:
+                        dwqkv, dbqkv, dscale, dbias = jax.lax.psum(
+                            (dwqkv, dbqkv, dscale, dbias), axis_name=b
+                        )
+                    return dx_ln, dwqkv, dbqkv, dscale, dbias
+
+                return mesh, lower, res_sh, args_sh
+
+            args_sh = (
+                _named(mesh, P(b, None, None)),        # x
+                _named(mesh, P(b, None, m)),           # do — head-group features
+                _named(mesh, P(b, None, None, m)),     # saved qkv
+                _named(mesh, P(b, None, m)),           # lse
+                _named(mesh, P(None)),                 # ln scale
+                _named(mesh, P(None)),                 # ln bias
+                _named(mesh, P(None, None, m)),        # Wqkv
+            )
+            Hl = heads // n
+
+            def lower(x, do, qkv, lse, ln_s, ln_b, wqkv):
+                dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
+                    x, do, qkv, lse, ln_s, ln_b, wqkv, Hl, causal, interpret
+                )
+                # dWqkv/dbqkv are complete over this shard's heads; reduce
+                # over batch shards only (they STAY model-sharded, like the
+                # weights).  The LN outputs are partial over features
+                # (linear in the partial dY) — psum over the model axes too.
                 if b is not None:
-                    dwqkv, dbqkv, dscale, dbias = jax.lax.psum(
-                        (dwqkv, dbqkv, dscale, dbias), axis_name=b
-                    )
+                    dwqkv, dbqkv = jax.lax.psum((dwqkv, dbqkv), axis_name=b)
+                ln_axes = _axes_tuple(b) + _axes_tuple(m)
+                dscale, dbias = jax.lax.psum((dscale, dbias), axis_name=ln_axes)
+                dx_ln = jax.lax.psum(dx_ln, axis_name=_axes_tuple(m))
                 return dx_ln, dwqkv, dbqkv, dscale, dbias
 
-            return mesh, lower, res_sh, args_sh
+            return mesh, lower, tp_results(mesh, b, m), args_sh
 
         def infer(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
-            return _force_shardings(mesh, b, result_shape)
+            m, _ = model_axes(mesh, arg_shapes, wqkv_index=6)
+            if m is not None:
+                return tp_results(mesh, b, m)
+            return _force_shardings(mesh, b, result_shape, _BATCH_RES["bwd"])
 
     rule = {"fwd": _FWD_RULE, "fwd_infer": _FWD_INFER_RULE, "bwd": _BWD_RULE}[kind]
     f = custom_partitioning(impl)
+    factor_sizes = {"i": head_dim}
+    if kind == "fwd_infer":
+        # 'h' appears only inside compound factors here, so its size must be
+        # given explicitly (elsewhere the lse head axis determines it).
+        factor_sizes["h"] = heads
     f.def_partition(
         partition,
         infer_sharding_from_operands=infer,
         sharding_rule=rule,
         need_replication_factors=_factors(rule),
+        **factor_sizes,
     )
     return f
 
@@ -571,16 +753,18 @@ def _block_bwd(heads, causal, interpret, residuals, g):
     x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse = residuals
     B, L, D = x.shape
 
-    # Out-projection backward: plain XLA matmuls over the saved `o`.
+    # Out-projection backward: plain XLA matmuls over the saved `o`.  Under
+    # TP these partition automatically (o/wout are head-sharded; dwout's
+    # contraction is over the replicated batch+length dims).
     g32 = g.astype(jnp.float32)
     dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
     dbout = jnp.sum(g32, axis=(0, 1))
     do = jnp.einsum("ble,de->bld", g, wout.astype(g.dtype))
 
     if jax.device_count() > 1:
-        dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned("bwd", heads, causal, interpret)(
-            x, do, qkv, lse, ln_scale, ln_bias, wqkv
-        )
+        dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned(
+            "bwd", heads, wqkv.shape[-1] // heads, causal, interpret
+        )(x, do, qkv, lse, ln_scale, ln_bias, wqkv)
     else:
         dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
             x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret
@@ -592,7 +776,7 @@ def _block_bwd(heads, causal, interpret, residuals, g):
         dscale.reshape(ln_scale.shape).astype(ln_scale.dtype),
         dbias.reshape(ln_bias.shape).astype(ln_bias.dtype),
         dwqkv.astype(wqkv.dtype),
-        dbqkv.reshape(3 * D),  # [3D] float32, matching the bqkv param
+        dbqkv,  # [3, D] float32, matching the bqkv param
         dwout.astype(wout.dtype),
         dbout,  # [D] float32, matching the bout param
     )

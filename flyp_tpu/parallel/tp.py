@@ -27,9 +27,16 @@ from flyp_tpu.parallel.mesh import MODEL_AXIS
 
 
 def _spec_for(path: str, shape) -> P:
-    if path.endswith("attn/qkv_kernel") or path.endswith("mlp/fc_kernel"):
+    if path.endswith("attn/qkv_kernel"):
+        # [D, 3, D]: the last axis is head-major output features — sharding
+        # it IS head-group TP; the fused attention-block kernel runs
+        # per-shard with H/n local heads (ops/attention_block.py rules).
+        return P(None, None, MODEL_AXIS)
+    if path.endswith("attn/qkv_bias"):
+        return P(None, MODEL_AXIS)  # [3, D], shards with the kernel
+    if path.endswith("mlp/fc_kernel"):
         return P(None, MODEL_AXIS)  # column parallel
-    if path.endswith("attn/qkv_bias") or path.endswith("mlp/fc_bias"):
+    if path.endswith("mlp/fc_bias"):
         return P(MODEL_AXIS)
     if path.endswith("attn/out_kernel") or path.endswith("mlp/proj_kernel"):
         return P(MODEL_AXIS, None)  # row parallel

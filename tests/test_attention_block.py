@@ -19,8 +19,8 @@ def _params(D, seed=0):
     return dict(
         ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32),
         ln_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
-        wqkv=jnp.asarray(rng.standard_normal((D, 3 * D)) * D ** -0.5, jnp.float32),
-        bqkv=jnp.asarray(0.1 * rng.standard_normal(3 * D), jnp.float32),
+        wqkv=jnp.asarray(rng.standard_normal((D, 3, D)) * D ** -0.5, jnp.float32),
+        bqkv=jnp.asarray(0.1 * rng.standard_normal((3, D)), jnp.float32),
         wout=jnp.asarray(rng.standard_normal((D, D)) * D ** -0.5, jnp.float32),
         bout=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
     )
@@ -35,7 +35,8 @@ def _reference(x, p, heads, causal):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["ln_scale"] + p["ln_bias"]).astype(x.dtype)
-    qkv = jnp.einsum("bld,de->ble", y, p["wqkv"].astype(x.dtype)) + p["bqkv"].astype(x.dtype)
+    wqkv = p["wqkv"].reshape(D, 3 * D)
+    qkv = jnp.einsum("bld,de->ble", y, wqkv.astype(x.dtype)) + p["bqkv"].reshape(3 * D).astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = D // heads
     o = xla_attention(
@@ -101,12 +102,70 @@ def test_attention_block_partitioned_over_mesh():
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("model", "data"))
     x_s = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
     args_s = [jax.device_put(a, NamedSharding(mesh, P(*([None] * a.ndim)))) for a in args]
-    # TP-style feature sharding on the QKV kernel must be gathered, not fail.
-    args_s[keys.index("wqkv")] = jax.device_put(p["wqkv"], NamedSharding(mesh, P(None, "model")))
+    # Sharding a need-replication dim (the contraction rows) must be
+    # gathered, not fail.
+    args_s[keys.index("wqkv")] = jax.device_put(p["wqkv"], NamedSharding(mesh, P("model", None, None)))
 
     grads_mesh = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))(x_s, *args_s)
     for name, a, b in zip(["x"] + keys, grads_mesh, grads_1dev):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_block_head_sharded_tp(causal):
+    """Head-group tensor parallelism: with the [D, 3, D] QKV kernel's last
+    axis sharded over the model axis, the kernel executes per shard on its
+    local head group — the compiled HLO contains NO all-gather of the
+    weight — and values+grads equal the single-device run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B, L, D, H = 8, 13, 128, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = _params(D)
+    keys = sorted(p)
+    args = [p[k] for k in keys]
+
+    def loss(x, *a):
+        pp = dict(zip(keys, a))
+        out = attention_block(x, pp["ln_scale"], pp["ln_bias"], pp["wqkv"], pp["bqkv"], pp["wout"], pp["bout"], H, causal, True)
+        return jnp.sum(out ** 2)
+
+    out_1dev = _reference(x, p, H, causal)
+    grads_1dev = jax.grad(loss, argnums=tuple(range(len(args) + 1)))(x, *args)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("model", "data"))
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    tp_specs = {
+        "wqkv": P(None, None, "model"),
+        "bqkv": P(None, "model"),
+        "wout": P("model", None),
+    }
+    args_s = [
+        jax.device_put(a, NamedSharding(mesh, tp_specs.get(k, P(*([None] * a.ndim)))))
+        for k, a in zip(keys, args)
+    ]
+
+    def fwd(x, *a):
+        pp = dict(zip(keys, a))
+        return attention_block(x, pp["ln_scale"], pp["ln_bias"], pp["wqkv"], pp["bqkv"], pp["wout"], pp["bout"], H, causal, True)
+
+    out_tp = jax.jit(fwd)(x_s, *args_s)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_1dev), atol=2e-5, rtol=2e-5)
+
+    grad_fn = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))
+    # The weight must never be all-gathered: no collective producing the
+    # full [128, 3, 128] (or flattened [128, 384]) weight may appear.
+    hlo = grad_fn.lower(x_s, *args_s).compile().as_text()
+    for line in hlo.splitlines():
+        if "all-gather" in line:
+            assert "f32[128,3,128]" not in line and "f32[128,384]" not in line, line
+
+    grads_tp = grad_fn(x_s, *args_s)
+    for name, a, b in zip(["x"] + keys, grads_tp, grads_1dev):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=name)
+    # dWqkv comes back still head-sharded, like the weight itself.
+    assert grads_tp[keys.index("wqkv") + 1].sharding.spec == P(None, None, "model")
 
 
 def test_model_with_pallas_block_impl_matches_xla(monkeypatch):

@@ -126,3 +126,44 @@ def test_imagenet_kshot_registered():
 
     cls = get_dataset_class("ImageNetKShot")
     assert cls.__name__ == "ImageNetKShot"
+
+
+def test_metrics_sink_wandb_mirror(tmp_path, monkeypatch):
+    """The wandb adapter path (`flyp_loss.py:339-341,524,673`): with a wandb
+    module importable, MetricsSink must init it, mirror every log record,
+    and finish() on close; with --debug (enabled=False) no wandb call may
+    happen at all."""
+    import sys
+    import types
+
+    from flyp_tpu.utils.metrics_sink import MetricsSink
+
+    calls = {"init": [], "log": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda rec: calls["log"].append(dict(rec))
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    sink = MetricsSink(str(tmp_path), enabled=True, config={"lr": 1e-5}, name="run1", group="g")
+    assert calls["init"] and calls["init"][0]["project"] == "sd_exprs"
+    assert calls["init"][0]["name"] == "run1"
+    sink.log({"step": 1, "loss": 2.5})
+    sink.log({"step": 2, "loss": 2.0})
+    sink.close()
+    assert calls["finish"] == 1
+
+    # wandb records mirror the JSONL sink records exactly.
+    import json
+
+    with open(tmp_path / "metrics.jsonl") as f:
+        jsonl = [json.loads(line) for line in f]
+    assert [{k: r[k] for k in ("step", "loss")} for r in jsonl] == calls["log"]
+
+    # --debug kills every wandb call (`flyp_loss.py:339`).
+    calls["init"].clear()
+    calls["log"].clear()
+    dbg = MetricsSink(str(tmp_path), enabled=False)
+    dbg.log({"step": 1})
+    dbg.close()
+    assert not calls["init"] and not calls["log"] and calls["finish"] == 1

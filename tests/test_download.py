@@ -64,6 +64,40 @@ def test_download_model_name_routing(tmp_path, monkeypatch):
     monkeypatch.setitem(download.MODELS, "ViT-B/16", url)
     got = download.download_model("ViT-B/16", cache_dir=str(tmp_path / "cache"))
     assert os.path.basename(got) == "ViT-B-16.pt"
-    # Dash-spelled (open_clip LAION) names have no pinned URL.
-    with pytest.raises(ValueError, match="clip_load"):
-        download.download_model("ViT-B-16")
+
+
+def _hub_fixture(tmp_path, payload: bytes, stem: str):
+    """torch.hub-style release: the sha256 PREFIX rides in the filename."""
+    prefix = hashlib.sha256(payload).hexdigest()[:8]
+    src_dir = tmp_path / "srv" / "v0.2-weights"
+    src_dir.mkdir(parents=True, exist_ok=True)
+    src = src_dir / f"{stem}-{prefix}.pt"
+    src.write_bytes(payload)
+    return f"file://{src}", src
+
+
+def test_download_model_open_clip_laion400m(tmp_path, monkeypatch):
+    """Dash-spelled names resolve to the pinned open_clip LAION-400M e31
+    releases (`/root/reference/src/models/modeling.py:13-22`), verified via
+    the torch.hub filename sha-prefix convention."""
+    assert set(download.OPEN_CLIP_MODELS) == {"ViT-B-32", "ViT-B-16", "ViT-L-14"}
+    for name, url in download.OPEN_CLIP_MODELS.items():
+        assert "laion400m_e31" in url
+        # Every pin carries a recognizable digest.
+        assert len(download._expected_digest(url)) >= 8
+
+    url, src = _hub_fixture(tmp_path, b"laion-weights", "vit_b_16-laion400m_e31")
+    monkeypatch.setitem(download.OPEN_CLIP_MODELS, "ViT-B-16", url)
+    got = download.download_model("ViT-B-16", cache_dir=str(tmp_path / "cache"))
+    assert open(got, "rb").read() == b"laion-weights"
+    # Cache hit on re-call, even with the source gone.
+    src.unlink()
+    assert download.download_model("ViT-B-16", cache_dir=str(tmp_path / "cache")) == got
+
+    # Tampered payload fails the prefix check and is not installed.
+    url2, src2 = _hub_fixture(tmp_path, b"real-l14", "vit_l_14-laion400m_e31")
+    src2.write_bytes(b"tampered-l14")
+    monkeypatch.setitem(download.OPEN_CLIP_MODELS, "ViT-L-14", url2)
+    with pytest.raises(RuntimeError, match="sha256"):
+        download.download_model("ViT-L-14", cache_dir=str(tmp_path / "cache2"))
+    assert not (tmp_path / "cache2" / os.path.basename(url2)).exists()
