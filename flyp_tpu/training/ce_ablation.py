@@ -98,7 +98,7 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
 
     mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
-    optimizer = make_optimizer(schedule, cfg.wd)
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = replicate(mesh, create_train_state(variables["params"], optimizer, variables.get("batch_stats")))
     step_fn = make_ce_train_step(model, optimizer, mesh=mesh, label_smoothing=cfg.ls)
     batch_shard = batch_sharding(mesh)

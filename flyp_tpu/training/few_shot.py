@@ -132,7 +132,7 @@ def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float
     val_batch = _collect_balanced_label_batch(val_dataset.test_loader, k)
 
     schedule = warmup_cosine_lr(cfg.lr, cfg.warmup_length, cfg.epochs * 1, cfg.min_lr)
-    optimizer = make_optimizer(schedule, cfg.wd)
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     step_fn = make_train_step(model, optimizer, donate=False)
 

@@ -284,7 +284,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     logger.info(f"Num batches is {num_batches}")
 
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
-    optimizer = make_optimizer(schedule, cfg.wd)
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     use_tp = cfg.mesh_model > 1
     if use_tp:
@@ -363,7 +363,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     "default", cfg.lr, cfg.warmup_length,
                     cfg.epochs - start_epoch - cfg.curriculum_epoch, num_batches, cfg.min_lr,
                 )
-                optimizer = make_optimizer(schedule_r, cfg.wd)
+                optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
                 step_fn = make_train_step(model, optimizer, mesh=None if use_tp else mesh)
             if cur_guidance != 0 and cur_guidance != 100:
                 logger.info("Restart dataloader")

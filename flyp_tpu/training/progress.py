@@ -67,7 +67,7 @@ def flyp_progress_validation(
     if cfg.scheduler not in ("default", "drestart"):
         raise ValueError(f"invalid scheduler type {cfg.scheduler}!")
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, 1000, cfg.min_lr)
-    optimizer = make_optimizer(schedule, cfg.wd)
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     step_fn = make_train_step(model, optimizer, donate=False)
 

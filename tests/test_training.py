@@ -205,3 +205,42 @@ def test_factory_random_init_returns_batch_stats():
     )
     _, vit_vars = build_clip_model(vit, config_override=vit_override)
     assert set(vit_vars) == {"params"}
+
+
+def test_adam_moment_dtype_variants():
+    """make_optimizer(..., moment_dtype=...): the custom transform matches
+    optax.adamw exactly in fp32, tracks it closely with bfloat16 moments,
+    and keeps the ScaleByAdamState layout (TP/FSDP walks, checkpoints)."""
+    import optax
+
+    from flyp_tpu.training.train_state import _scale_by_adam_moment_dtype, make_optimizer
+    from flyp_tpu.training.schedules import warmup_cosine_lr
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.standard_normal((64, 64)), jnp.float32),
+              "b": jnp.asarray(rng.standard_normal(64), jnp.float32)}
+    grads = jax.tree_util.tree_map(lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32), params)
+
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    mine = _scale_by_adam_moment_dtype(0.9, 0.999, 1e-8, jnp.float32)
+    s_ref, s_mine = ref.init(params), mine.init(params)
+    for _ in range(3):
+        u_ref, s_ref = ref.update(grads, s_ref)
+        u_mine, s_mine = mine.update(grads, s_mine)
+    for a, b in zip(jax.tree_util.tree_leaves(u_ref), jax.tree_util.tree_leaves(u_mine)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    sched = warmup_cosine_lr(1e-3, 2, 50)
+    full32 = make_optimizer(sched, weight_decay=0.1)
+    low = make_optimizer(sched, weight_decay=0.1, moment_dtype="bfloat16")
+    s32, slow = full32.init(params), low.init(params)
+    assert isinstance(slow.inner_state[0], optax.ScaleByAdamState)
+    assert jax.tree_util.tree_leaves(slow.inner_state[0].mu)[0].dtype == jnp.bfloat16
+    p32, plow = params, params
+    for _ in range(3):
+        u32, s32 = full32.update(grads, s32, p32)
+        ulow, slow = low.update(grads, slow, plow)
+        p32 = optax.apply_updates(p32, u32)
+        plow = optax.apply_updates(plow, ulow)
+    for a, b in zip(jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(plow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-5)
