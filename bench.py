@@ -52,7 +52,15 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
     model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
     variables = init_clip_variables(model, 0)
 
-    optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1)
+    import os
+
+    # bf16 Adam moments: -1.8 ms/step measured (tools/mfu_levers; fp32
+    # math, only the stored accumulators round).  The bench reports the
+    # recommended TPU training config; the trainer default stays float32
+    # for exact reference parity (--adam_moment_dtype opts in).
+    # FLYP_ADAM_MOMENT_DTYPE=float32 reverts the bench.
+    moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
+    optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype=moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     step_fn = make_train_step(model, optimizer, donate=True)
 
@@ -101,16 +109,17 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
         step_flops += _attn_flops(ctx, config.text.heads, config.text.layers, 16)
 
     if step_flops and impl.startswith("pallas_block"):
-        # The block kernels also hide the QKV projection (fwd + dW + dY)
-        # and the out-projection forward; with pallas_block_mlp, the MLP
-        # forward matmuls too.  Their backwards run in XLA and are counted.
+        # The block kernels also hide the QKV projection (fwd + dW + dY),
+        # the out-projection forward AND its in-kernel `do = g @ Wout^T`
+        # backward; with pallas_block_mlp, the MLP forward matmuls too.
+        # dWout runs in XLA and is counted by cost analysis.
         with_mlp = impl == "pallas_block_mlp"
 
         def _proj_flops(L, D, layers):
             qkv = 2 * batch_size * L * D * 3 * D  # one matmul
             out = 2 * batch_size * L * D * D
             mlp = 2 * (2 * batch_size * L * D * 4 * D) if with_mlp else 0
-            return layers * (3 * qkv + out + mlp)
+            return layers * (3 * qkv + 2 * out + mlp)
 
         if config.vision.is_vit:
             step_flops += _proj_flops(vis_tokens, config.vision.width, config.vision.layers)

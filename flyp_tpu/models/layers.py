@@ -239,7 +239,8 @@ class Transformer(nn.Module):
         # policy degrades to full per-block remat.
         if self.remat:
             policy = jax.checkpoint_policies.save_only_these_names(
-                "attn_block_out", "attn_block_o", "attn_block_qkv", "attn_block_lse"
+                "attn_block_out", "attn_block_o", "attn_block_q",
+                "attn_block_k", "attn_block_v", "attn_block_lse",
             )
             block_cls = nn.remat(ResidualBlock, static_argnums=(2,), policy=policy)
         else:

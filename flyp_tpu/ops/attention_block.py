@@ -92,7 +92,7 @@ def _layer_norm(x32, scale_ref, bias_ref):
     return xhat, rstd, y32
 
 
-def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, qkv_ref, lse_ref):
+def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, q_ref, k_ref, v_ref, lse_ref):
     # D = residual-stream width; Dv = per-tower (q/k/v) inner width.  They
     # differ under head-group TP, where this program holds H = H_global/n
     # heads and Dv = D/n columns of each tower.
@@ -114,7 +114,15 @@ def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, 
     qkvf = _row_zero_flat(qkvf, L, Lp)
     # Saved for backward: re-deriving qkv there would cost a full extra
     # matmul per layer (measured: it cancels the fusion win entirely).
-    qkv_ref[:] = qkvf.reshape(G, Lp, 3 * Dv)
+    # Three SEPARATE [B, L, Dv] arrays: a fused [B, L, 3, Dv] save puts a
+    # size-3 next-to-minor dim into the XLA layout, which re-layouts with
+    # physical copies at every remat/consumer boundary (measured: -11%
+    # end-to-end on ViT-L) — and a [B, L, 3Dv] save cannot express
+    # head-group sharding.  Per-tower arrays have standard layouts AND
+    # dim-shard over heads.
+    q_ref[:] = qkvf[:, :Dv].reshape(G, Lp, Dv)
+    k_ref[:] = qkvf[:, Dv : 2 * Dv].reshape(G, Lp, Dv)
+    v_ref[:] = qkvf[:, 2 * Dv :].reshape(G, Lp, Dv)
     # No per-head row-zeroing needed: masked score COLUMNS are exactly 0
     # after softmax, and every padding ROW of o/out is dropped when the
     # block writes back to the unpadded [B, L, D] arrays.
@@ -157,13 +165,12 @@ def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, 
 
 
 def _bwd_kernel(
-    L, H, G, causal, scale,
-    x_ref, do_ref, qkv_ref, lse_ref, g_ref, b_ref, wqkv_ref,
-    dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref,
-    dqkv_scr,
+    L, H, G, causal, scale, add_g,
+    x_ref, gout_ref, q_ref, k_ref, v_ref, lse_ref, g_ref, b_ref, wqkv_ref,
+    wout_ref, dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref, dqkv_scr,
 ):
     D = x_ref.shape[-1]
-    Dv = qkv_ref.shape[-1] // 3
+    Dv = q_ref.shape[-1]
     Lp = x_ref.shape[1]
     head_dim = Dv // H
     sm_scale = scale
@@ -180,28 +187,42 @@ def _bwd_kernel(
     xhat, rstd, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
     y = _row_zero_flat(y32, L, Lp).astype(xf.dtype)
 
+    # do = g @ Wout^T computed IN-KERNEL from the block's incoming
+    # gradient (K=D contraction, good MXU depth): the [B, L, Dv] `do`
+    # array never round-trips through HBM (measured -4.5 ms/step at
+    # ViT-B/16 batch 256; neutral under remat once the saved residuals
+    # carry standard layouts — docs/BENCHMARKS.md round 3).  Row-zeroing
+    # g up front zeroes every do row.
+    goutf = _row_zero_flat(gout_ref[:].reshape(G * Lp, D).astype(xf.dtype), L, Lp)
+    dof = jax.lax.dot_general(
+        goutf, wout_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(xf.dtype)
+
     # Attention backward (same math as fused_qkv_attention._bwd_kernel),
     # assembling the fused dqkv for all G items in a VMEM scratch.
-    # Only `do` needs row-zeroing: with do's padding rows at 0, dv/dk lose
-    # their garbage contributions through the row contraction, ds's padding
-    # rows vanish (dp rows are 0), and p's masked COLUMNS (exact softmax
-    # zeros) kill the padding rows of k/v everywhere else.
+    # Only `do` needs row-zeroing (done above via g): with do's padding rows
+    # at 0, dv/dk lose their garbage contributions through the row
+    # contraction, ds's padding rows vanish (dp rows are 0), and p's masked
+    # COLUMNS (exact softmax zeros) kill the padding rows of k/v elsewhere.
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
         # Zero the block-padding rows (undefined reads) once per item —
         # NaN-safety for the additive mask, see the forward kernel.
-        qkv = _row_zero(qkv_ref[g], L)
+        q_g = _row_zero(q_ref[g], L)
+        k_g = _row_zero(k_ref[g], L)
+        v_g = _row_zero(v_ref[g], L)
         lse = _row_zero(lse_ref[g].astype(jnp.float32), L)
-        # do zeroed ONCE per item ([Lp, Dv]) instead of per head.
-        do_f = _row_zero(do_ref[g].astype(xf.dtype), L)
+        do_f = dof[g * Lp : (g + 1) * Lp]
         # sm_scale folded into q (see forward): scaled scores match the
         # saved lse directly, and no [L, L] scale pass exists in ds either.
-        qs = qkv[:, :Dv] * sm_scale
+        qs = q_g * sm_scale
         row0 = g * Lp
         for h in range(H):
-            _, k, v = _heads_2d(qkv, Dv, head_dim, h)
-            q = qs[:, h * head_dim : (h + 1) * head_dim]
-            do = do_f[:, h * head_dim : (h + 1) * head_dim]
+            hs = slice(h * head_dim, (h + 1) * head_dim)
+            k = k_g[:, hs]
+            v = v_g[:, hs]
+            q = qs[:, hs]
+            do = do_f[:, hs]
 
             # p from the forward-saved log-sum-exp: one exp instead of a
             # full softmax recompute (max/sum/div passes gone).
@@ -250,6 +271,12 @@ def _bwd_kernel(
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx = rstd * (dxhat - m1 - xhat * m2)
+    if add_g:
+        # Residual path: dx_total = g + dx_ln, folded here so no separate
+        # XLA pass re-reads g.  Skipped under TP (add_g=False): each shard's
+        # dx is partial over features, and g must be added ONCE after the
+        # cross-shard psum.
+        dx = dx + goutf.astype(jnp.float32)
     dx_ref[:] = _row_zero_flat(dx, L, Lp).astype(dx_ref.dtype).reshape(G, Lp, D)
 
 
@@ -359,7 +386,9 @@ def _infer_bwd(heads, causal, interpret, residuals, g):
     # Regenerate the residuals with the training forward, then reuse its
     # backward wholesale (dbout = sum g is independent of bout's value).
     bout_zero = jnp.zeros((x.shape[-1],), jnp.float32)
-    _, full_residuals = _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout_zero, heads, causal, interpret)
+    _, full_residuals = _block_fwd(
+        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout_zero, heads, causal, interpret
+    )
     return _block_bwd(heads, causal, interpret, full_residuals, g)
 
 
@@ -372,7 +401,12 @@ def attention_block(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_
     tree, cast to the activation dtype for the MXU).  ``qkv_kernel`` is
     ``[D, 3, D]`` / ``qkv_bias`` ``[3, D]`` — q|k|v on the middle axis,
     head-major features on the last, so the ``model`` mesh axis dim-shards
-    it into head groups (see module docstring)."""
+    it into head groups (see module docstring).
+
+    The backward computes ``do = g @ Wout^T`` (and the residual g-add)
+    inside the kernel — measured -4.5 ms/step at ViT-B/16 bs256 and
+    neutral under per-block rematerialization (docs/BENCHMARKS.md
+    round 3)."""
     out, _ = _block_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_bias,
                         heads, causal, interpret)
     return out
@@ -397,11 +431,13 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
     out_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, Lp, 3 * Dv), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),   # saved q
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),   # saved k
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),   # saved v
         pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),  # lse stats
     ]
     head_dim = Dv // heads
-    out, o, qkv, lse = pl.pallas_call(
+    out, o, q, k, v, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, L, heads, G, causal, head_dim ** -0.5, partial_out),
         grid=(B // G,),
         in_specs=specs,
@@ -409,7 +445,9 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), jnp.float32 if partial_out else x.dtype),
             jax.ShapeDtypeStruct((B, L, Dv), x.dtype),
-            jax.ShapeDtypeStruct((B, L, 3 * Dv), x.dtype),
+            jax.ShapeDtypeStruct((B, L, Dv), x.dtype),
+            jax.ShapeDtypeStruct((B, L, Dv), x.dtype),
+            jax.ShapeDtypeStruct((B, L, Dv), x.dtype),
             jax.ShapeDtypeStruct((B, L, heads), jnp.float32),
         ],
         # ~20-35MB resident with G-batched blocks + fp32 accumulators;
@@ -426,20 +464,21 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
-    # Saved qkv leaves as [B, L, 3, Dv] (a free reshape): its last axis is
-    # head-major, so under TP the saved residual dim-shards with the weights.
-    return out, o, qkv.reshape(B, L, 3, Dv), lse
+    # Saved q/k/v leave as three separate [B, L, Dv] arrays (standard XLA
+    # layouts — a fused [B, L, 3, Dv] save re-layouts with physical copies
+    # at remat boundaries); each dim-shards head-major under TP.
+    return out, o, q, k, v, lse
 
 
 def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret):
     from jax.ad_checkpoint import checkpoint_name
 
     if jax.device_count() > 1:
-        out, o, qkv, lse = _partitioned("fwd", heads, wqkv.shape[-1] // heads, causal, interpret)(
+        out, o, q, k, v, lse = _partitioned("fwd", heads, wqkv.shape[-1] // heads, causal, interpret)(
             x, ln_scale, ln_bias, wqkv, bqkv, wout, bout
         )
     else:
-        out, o, qkv, lse = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
+        out, o, q, k, v, lse = _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, interpret)
     # Checkpoint-name tags let a remat policy (layers.Transformer) SAVE the
     # kernel's backward residuals instead of re-running the whole fused
     # forward under rematerialization: with these pinned, the only per-block
@@ -447,38 +486,55 @@ def _block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inte
     # policy is active.
     out = checkpoint_name(out, "attn_block_out")
     o = checkpoint_name(o, "attn_block_o")
-    qkv = checkpoint_name(qkv, "attn_block_qkv")
+    q = checkpoint_name(q, "attn_block_q")
+    k = checkpoint_name(k, "attn_block_k")
+    v = checkpoint_name(v, "attn_block_v")
     lse = checkpoint_name(lse, "attn_block_lse")
-    return out, (x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse)
+    return out, (x, ln_scale, ln_bias, wqkv, wout, o, q, k, v, lse)
 
 
-def _bwd_call(x, do, qkv4, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret):
+def _bwd_call(x, gout, q, k, v, lse, ln_scale, ln_bias, wqkv, wout, heads, causal, interpret,
+              add_g=True):
     B, L, D = x.shape
     Dv = wqkv.shape[-1]
-    qkv = qkv4.reshape(B, L, 3 * Dv)
     Lp = _pad_len(L, x.dtype)
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
     in_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
-        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),       # do
-        pl.BlockSpec((G, Lp, 3 * Dv), row, memory_space=pltpu.VMEM),   # qkv (fwd-saved)
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # g (block output grad)
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),       # q (fwd-saved)
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),       # k (fwd-saved)
+        pl.BlockSpec((G, Lp, Dv), row, memory_space=pltpu.VMEM),       # v (fwd-saved)
         pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),    # lse (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
         pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # Wqkv
+        pl.BlockSpec((Dv, D), const2, memory_space=pltpu.VMEM),        # Wout
     ]
     out_specs = [
-        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx (LN path)
+        pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx
         pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # dWqkv
         pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),    # dbqkv
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dscale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dbias
     ]
     head_dim = Dv // heads
-    dx_ln, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, L, heads, G, causal, head_dim ** -0.5),
+    args = [
+        x,
+        gout,
+        q,
+        k,
+        v,
+        lse,
+        ln_scale.reshape(1, D).astype(jnp.float32),
+        ln_bias.reshape(1, D).astype(jnp.float32),
+        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
+        wout.astype(x.dtype),
+    ]
+    dx, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, L, heads, G, causal, head_dim ** -0.5, add_g),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -495,16 +551,8 @@ def _bwd_call(x, do, qkv4, lse, ln_scale, ln_bias, wqkv, heads, causal, interpre
         # kernels run fine on v5e).
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(
-        x,
-        do,
-        qkv,
-        lse,
-        ln_scale.reshape(1, D).astype(jnp.float32),
-        ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
-    )
-    return dx_ln, dwqkv.reshape(D, 3, Dv), dbqkv.reshape(3, Dv), dscale, dbias
+    )(*args)
+    return dx, dwqkv.reshape(D, 3, Dv), dbqkv.reshape(3, Dv), dscale, dbias
 
 
 def _spec_dim(arg_shapes, i, dim):
@@ -552,10 +600,10 @@ def _force_shardings(mesh, b, shapes, batch_flags):
 _BATCH_ARGS = {
     "fwd": (True, False, False, False, False, False, False),
     "fwd_infer": (True, False, False, False, False, False, False),
-    "bwd": (True, True, True, True, False, False, False),
+    "bwd": (True, True, True, True, True, True, False, False, False, False),
 }
 _BATCH_RES = {
-    "fwd": (True, True, True, True),
+    "fwd": (True, True, True, True, True, True),
     "fwd_infer": (True,),
     "bwd": (True, False, False, False, False),
 }
@@ -570,12 +618,13 @@ _BATCH_RES = {
 # head shards stay put.
 _FWD_RULE = (
     "b l1 f1, f2, f3, f4 t1 (h i), t2 (h i), (h i) f5, f6 "
-    "-> b l2 f7, b l3 (h i), b l4 t3 (h i), b l5 h"
+    "-> b l2 f7, b l3 (h i), b l4 (h i), b l5 (h i), b l6 (h i), b l7 h"
 )
 _FWD_INFER_RULE = "b l1 f1, f2, f3, f4 t1 (h i), t2 (h i), (h i) f5, f6 -> b l2 f7"
 _BWD_RULE = (
-    "b l1 f1, b l2 (h i), b l3 t1 (h i), b l4 h, f2, f3, f4 t2 (h i) "
-    "-> b l5 f5, f6 t3 (h i), t4 (h i), c1 f7, c2 f8"
+    "b l1 f1, b l2 f9, b l3 (h i), b l4 (h i), b l5 (h i), b l6 h, "
+    "f2, f3, f4 t2 (h i), (h i) f10 "
+    "-> b l7 f5, f6 t3 (h i), t4 (h i), c1 f7, c2 f8"
 )
 
 
@@ -624,7 +673,9 @@ def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: 
             return (
                 _named(mesh, P(b, None, None)),        # out (replicated features)
                 _named(mesh, P(b, None, m)),           # o (head-major features)
-                _named(mesh, P(b, None, None, m)),     # saved qkv
+                _named(mesh, P(b, None, m)),           # saved q
+                _named(mesh, P(b, None, m)),           # saved k
+                _named(mesh, P(b, None, m)),           # saved v
                 _named(mesh, P(b, None, m)),           # lse (head axis)
             )
 
@@ -653,7 +704,7 @@ def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: 
                 partial = r if single else r[0]
                 proj = jax.lax.psum(partial, _axes_tuple(m))
                 out = (x.astype(jnp.float32) + proj + bout).astype(x.dtype)
-                return out if single else (out, r[1], r[2], r[3])
+                return out if single else (out,) + tuple(r[1:])
 
             return mesh, lower, tp_results(mesh, b, m), args_sh
 
@@ -682,35 +733,41 @@ def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: 
 
         def partition(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
-            m, n = model_axes(mesh, arg_shapes, wqkv_index=6)
+            m, n = model_axes(mesh, arg_shapes, wqkv_index=8)
             if m is None:
                 args_sh = _force_shardings(mesh, b, arg_shapes, _BATCH_ARGS["bwd"])
                 res_sh = _force_shardings(mesh, b, result_shape, _BATCH_RES["bwd"])
 
                 def lower(*args):
-                    dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(*args, heads, causal, interpret)
+                    dx, dwqkv, dbqkv, dscale, dbias = _bwd_call(*args, heads, causal, interpret)
                     if b is not None:
                         dwqkv, dbqkv, dscale, dbias = jax.lax.psum(
                             (dwqkv, dbqkv, dscale, dbias), axis_name=b
                         )
-                    return dx_ln, dwqkv, dbqkv, dscale, dbias
+                    return dx, dwqkv, dbqkv, dscale, dbias
 
                 return mesh, lower, res_sh, args_sh
 
             args_sh = (
                 _named(mesh, P(b, None, None)),        # x
-                _named(mesh, P(b, None, m)),           # do — head-group features
-                _named(mesh, P(b, None, None, m)),     # saved qkv
+                _named(mesh, P(b, None, None)),        # g (full stream width)
+                _named(mesh, P(b, None, m)),           # saved q
+                _named(mesh, P(b, None, m)),           # saved k
+                _named(mesh, P(b, None, m)),           # saved v
                 _named(mesh, P(b, None, m)),           # lse
                 _named(mesh, P(None)),                 # ln scale
                 _named(mesh, P(None)),                 # ln bias
                 _named(mesh, P(None, None, m)),        # Wqkv
+                _named(mesh, P(m, None)),              # Wout — head-group rows
             )
             Hl = heads // n
 
-            def lower(x, do, qkv, lse, ln_s, ln_b, wqkv):
+            def lower(x, gout, q, k, v, lse, ln_s, ln_b, wqkv, wout):
+                # add_g=False: each shard's dx is partial over features (its
+                # head group's dY contribution); g is added ONCE after the
+                # cross-shard psum.
                 dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
-                    x, do, qkv, lse, ln_s, ln_b, wqkv, Hl, causal, interpret
+                    x, gout, q, k, v, lse, ln_s, ln_b, wqkv, wout, Hl, causal, interpret, add_g=False
                 )
                 # dWqkv/dbqkv are complete over this shard's heads; reduce
                 # over batch shards only (they STAY model-sharded, like the
@@ -721,13 +778,14 @@ def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: 
                 ln_axes = _axes_tuple(b) + _axes_tuple(m)
                 dscale, dbias = jax.lax.psum((dscale, dbias), axis_name=ln_axes)
                 dx_ln = jax.lax.psum(dx_ln, axis_name=_axes_tuple(m))
-                return dx_ln, dwqkv, dbqkv, dscale, dbias
+                dx = (gout.astype(jnp.float32) + dx_ln.astype(jnp.float32)).astype(x.dtype)
+                return dx, dwqkv, dbqkv, dscale, dbias
 
             return mesh, lower, tp_results(mesh, b, m), args_sh
 
         def infer(mesh, arg_shapes, result_shape):
             b = _spec_dim0(arg_shapes)
-            m, _ = model_axes(mesh, arg_shapes, wqkv_index=6)
+            m, _ = model_axes(mesh, arg_shapes, wqkv_index=8)
             if m is not None:
                 return tp_results(mesh, b, m)
             return _force_shardings(mesh, b, result_shape, _BATCH_RES["bwd"])
@@ -750,27 +808,30 @@ def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: 
 
 
 def _block_bwd(heads, causal, interpret, residuals, g):
-    x, ln_scale, ln_bias, wqkv, wout, o, qkv, lse = residuals
+    x, ln_scale, ln_bias, wqkv, wout, o, q, k, v, lse = residuals
     B, L, D = x.shape
 
-    # Out-projection backward: plain XLA matmuls over the saved `o`.  Under
+    # Out-projection weight/bias grads: plain XLA matmuls over the saved
+    # `o` (the per-program K=208 in-kernel dWout contraction was measured
+    # SLOWER — MXU depth quantization; docs/BENCHMARKS.md round 2).  Under
     # TP these partition automatically (o/wout are head-sharded; dwout's
-    # contraction is over the replicated batch+length dims).
+    # contraction is over the replicated batch+length dims).  `do` is
+    # computed inside the backward kernel (deep K=D contraction) so it
+    # never round-trips through HBM, and the kernel folds the residual
+    # `g +` into dx.
     g32 = g.astype(jnp.float32)
     dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
     dbout = jnp.sum(g32, axis=(0, 1))
-    do = jnp.einsum("ble,de->bld", g, wout.astype(g.dtype))
 
     if jax.device_count() > 1:
-        dx_ln, dwqkv, dbqkv, dscale, dbias = _partitioned(
+        dx, dwqkv, dbqkv, dscale, dbias = _partitioned(
             "bwd", heads, wqkv.shape[-1] // heads, causal, interpret
-        )(x, do, qkv, lse, ln_scale, ln_bias, wqkv)
+        )(x, g, q, k, v, lse, ln_scale, ln_bias, wqkv, wout)
     else:
-        dx_ln, dwqkv, dbqkv, dscale, dbias = _bwd_call(
-            x, do, qkv, lse, ln_scale, ln_bias, wqkv, heads, causal, interpret
+        dx, dwqkv, dbqkv, dscale, dbias = _bwd_call(
+            x, g, q, k, v, lse, ln_scale, ln_bias, wqkv, wout, heads, causal, interpret
         )
 
-    dx = (g.astype(jnp.float32) + dx_ln.astype(jnp.float32)).astype(x.dtype)
     return (
         dx,
         dscale.reshape(ln_scale.shape).astype(ln_scale.dtype),
