@@ -193,8 +193,10 @@ def adamw_pallas(n_params=150_000_000):
 
     rng = np.random.default_rng(0)
     lr, b1, b2, eps, wd = 1e-5, 0.9, 0.999, 1e-8, 0.1
-    rows, cols = n_params // 1024, 1024
     block = 2048  # rows per program: 2048*1024*4B = 8 MB fp32 blocks
+    cols = 1024
+    rows = n_params // cols // block * block  # grid must tile exactly
+    n_params = rows * cols
 
     def kernel(mdtype, p_ref, m_ref, v_ref, g_ref, np_ref, nm_ref, nv_ref):
         g32 = g_ref[:].astype(jnp.float32)
@@ -227,6 +229,7 @@ def adamw_pallas(n_params=150_000_000):
             interpret=jax.default_backend() not in ("tpu", "axon"),
         )
         jfn = jax.jit(fn, donate_argnums=(0, 1, 2))
+        print(f"adamw pallas {label}: compiling...", flush=True)
         p, m, v = jfn(p, m, v, g)
         _sync(p)
         iters = 20
