@@ -16,6 +16,7 @@ torch = pytest.importorskip("torch")
 if not ref_loader.available():  # pragma: no cover
     pytest.skip("reference tree not mounted", allow_module_level=True)
 
+import jax
 import jax.numpy as jnp
 
 from flyp_tpu.models import CLIPModel, convert
@@ -191,3 +192,85 @@ def test_activation_crosscheck_per_block(tmp_path):
 
     diff = activation_crosscheck(str(path))
     assert diff < 5e-4
+
+
+def test_training_trajectory_parity():
+    """Full FLYP training-step parity: N steps of the reference's exact
+    update (`src/models/flyp_loss.py:493-500` — CLIP forward, per-item
+    ClipLoss, mean, torch AdamW on ALL params incl. LN scales and
+    logit_scale) against flyp_tpu's jitted train step on the same
+    converted weights and batches.  Catches anything activation-level
+    parity can't: gradient flow, optimizer math, weight-decay masking.
+
+    LR is held flat (warmup 0, long horizon) because the reference calls
+    `scheduler(step)` AFTER `optimizer.step()` (`flyp_loss.py:500,511`) —
+    step 0 runs at the un-warmed base lr and step i at schedule(i-1); see
+    docs/PARITY.md divergence 8."""
+    from flyp_tpu.training.train_state import create_train_state, make_optimizer
+    from flyp_tpu.training.train_step import make_train_step
+
+    ref, ours, variables, cfg = make_pair(2, 64, 16)
+    loss_mod = ref_loader.load_ref_module("clip/loss.py", "ref_clip_loss")
+    clip_loss_fn = loss_mod.ClipLoss(
+        local_loss=False, gather_with_grad=False, cache_labels=True,
+        rank=0, world_size=1, use_horovod=False,
+    )
+    lr, wd, steps = 1e-3, 0.1, 3
+    imgs, toks = rand_inputs(cfg, batch=8)
+
+    # Snapshot with REAL copies first: the converted tree shares storage
+    # with the torch tensors (opt_t.step() mutates those in place), and
+    # jnp.asarray may zero-copy alias numpy buffers on CPU.
+    params0 = jax.tree_util.tree_map(
+        lambda a: jnp.array(np.array(a, copy=True)), variables["params"]
+    )
+
+    ref = ref.train()
+    opt_t = torch.optim.AdamW(ref.parameters(), lr=lr, weight_decay=wd)
+    imgs_t, toks_t = torch.from_numpy(imgs), torch.from_numpy(toks)
+    ref_losses = []
+    for _ in range(steps):
+        opt_t.zero_grad()
+        f_img, f_txt, scale = ref(imgs_t, toks_t)
+        per_item = clip_loss_fn(f_img, f_txt, scale)
+        loss = per_item.mean()
+        loss.backward()
+        opt_t.step()
+        ref_losses.append(float(loss))
+
+    opt_j = make_optimizer(lambda step: lr, weight_decay=wd)
+    state = create_train_state(params0, opt_j)
+    step_fn = make_train_step(ours, opt_j, donate=False)
+    imgs_j = jnp.asarray(imgs.transpose(0, 2, 3, 1))
+    toks_j = jnp.asarray(toks.astype(np.int32))
+    our_losses = []
+    for _ in range(steps):
+        state, metrics = step_fn(state, imgs_j, toks_j)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4)
+
+    # Final params: convert the UPDATED torch state dict and diff trees.
+    ref_params, _, _ = convert.convert_clip_state_dict(
+        {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    )
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
+    flat_ours = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    assert len(flat_ref) == len(flat_ours)
+    for path, leaf in flat_ref:
+        ours_leaf, ref_leaf = np.asarray(flat_ours[path]), np.asarray(leaf)
+        if jax.tree_util.keystr(path).endswith("['qkv_bias']"):
+            # The K-projection bias has an EXACTLY-zero gradient (a constant
+            # added to every key shifts each score row uniformly; softmax is
+            # invariant), so Adam normalizes fp32 roundoff into +-lr-sized
+            # noise updates on both frameworks independently.  Skip the K
+            # slice; q/v biases compare tightly below.
+            ours_leaf, ref_leaf = ours_leaf[[0, 2]], ref_leaf[[0, 2]]
+        # atol 2e-4: Adam's normalizer (m/sqrt(v)) amplifies fp32 noise on
+        # near-zero-grad rows (rarely-hit token-embedding entries) to ~1e-4
+        # after 3 steps; real divergence (wrong wd mask, broken grad flow)
+        # shows up orders of magnitude larger AND in the loss trajectory.
+        np.testing.assert_allclose(
+            ours_leaf, ref_leaf, rtol=5e-3, atol=2e-4,
+            err_msg=f"param diverged after {steps} steps: {jax.tree_util.keystr(path)}",
+        )
