@@ -19,6 +19,50 @@ from flyp_tpu.models.configs import VisionConfig
 from flyp_tpu.ops.attention import multi_head_attention
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact train-mode semantics.
+
+    `torch.nn.BatchNorm2d` normalizes with the BIASED batch variance but
+    updates ``running_var`` with the UNBIASED one (``n/(n-1)`` correction);
+    flax's ``nn.BatchNorm`` uses the biased variance for both, drifting the
+    running stats by ~1/(n-1) per step
+    (``test_training_trajectory_parity[rn]`` catches this).  Param/stat
+    names match flax (``scale``/``bias``, ``mean``/``var``) so checkpoint
+    conversion and sharding walks are unchanged.  Statistics are computed
+    in float32 regardless of the activation dtype (same islands policy as
+    LayerNorm); ``momentum`` follows the flax convention (torch 0.1 ==
+    flax 0.9)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var * (n / max(n - 1, 1))
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = y * scale + bias
+        return out.astype(self.dtype or x.dtype)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -40,7 +84,7 @@ class Bottleneck(nn.Module):
                            use_bias=False, dtype=dt, name=name)(n)
 
         def bn(n, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n)
+            return TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n, use_running_average=not train)
 
         out = nn.relu(bn(conv(x, self.planes, 1, "conv1"), "bn1"))
         out = nn.relu(bn(conv(out, self.planes, 3, "conv2"), "bn2"))
@@ -52,7 +96,7 @@ class Bottleneck(nn.Module):
         if self.stride > 1 or inplanes != out_planes:
             identity = nn.avg_pool(x, (self.stride, self.stride), strides=(self.stride, self.stride)) if self.stride > 1 else x
             identity = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=dt, name="downsample_conv")(identity)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="downsample_bn")(identity)
+            identity = TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dt, name="downsample_bn")(identity, use_running_average=not train)
 
         return nn.relu(out + identity)
 
@@ -98,7 +142,7 @@ class ModifiedResNet(nn.Module):
         dt = x.dtype  # compute dtype (see Bottleneck)
 
         def bn(n, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n)
+            return TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n, use_running_average=not train)
 
         # 3-conv stem.
         x = nn.relu(bn(nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, dtype=dt, name="conv1")(x), "bn1"))

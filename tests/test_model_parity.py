@@ -194,7 +194,8 @@ def test_activation_crosscheck_per_block(tmp_path):
     assert diff < 5e-4
 
 
-def test_training_trajectory_parity():
+@pytest.mark.parametrize("tower", ["vit", "rn"])
+def test_training_trajectory_parity(tower):
     """Full FLYP training-step parity: N steps of the reference's exact
     update (`src/models/flyp_loss.py:493-500` — CLIP forward, per-item
     ClipLoss, mean, torch AdamW on ALL params incl. LN scales and
@@ -209,7 +210,13 @@ def test_training_trajectory_parity():
     from flyp_tpu.training.train_state import create_train_state, make_optimizer
     from flyp_tpu.training.train_step import make_train_step
 
-    ref, ours, variables, cfg = make_pair(2, 64, 16)
+    if tower == "vit":
+        ref, ours, variables, cfg = make_pair(2, 64, 16)
+    else:
+        # ResNet: additionally pins BatchNorm TRAIN-mode behavior (batch
+        # statistics in the forward) and running-stats momentum parity
+        # (torch momentum 0.1 == flax momentum 0.9).
+        ref, ours, variables, cfg = make_pair(vision_layers=(1, 1, 1, 1), vision_width=16, patch=None)
     loss_mod = ref_loader.load_ref_module("clip/loss.py", "ref_clip_loss")
     clip_loss_fn = loss_mod.ClipLoss(
         local_loss=False, gather_with_grad=False, cache_labels=True,
@@ -221,9 +228,9 @@ def test_training_trajectory_parity():
     # Snapshot with REAL copies first: the converted tree shares storage
     # with the torch tensors (opt_t.step() mutates those in place), and
     # jnp.asarray may zero-copy alias numpy buffers on CPU.
-    params0 = jax.tree_util.tree_map(
-        lambda a: jnp.array(np.array(a, copy=True)), variables["params"]
-    )
+    copy_tree = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(np.array(a, copy=True)), t)
+    params0 = copy_tree(variables["params"])
+    stats0 = copy_tree(variables["batch_stats"]) if "batch_stats" in variables else None
 
     ref = ref.train()
     opt_t = torch.optim.AdamW(ref.parameters(), lr=lr, weight_decay=wd)
@@ -239,7 +246,7 @@ def test_training_trajectory_parity():
         ref_losses.append(float(loss))
 
     opt_j = make_optimizer(lambda step: lr, weight_decay=wd)
-    state = create_train_state(params0, opt_j)
+    state = create_train_state(params0, opt_j, stats0)
     step_fn = make_train_step(ours, opt_j, donate=False)
     imgs_j = jnp.asarray(imgs.transpose(0, 2, 3, 1))
     toks_j = jnp.asarray(toks.astype(np.int32))
@@ -251,14 +258,33 @@ def test_training_trajectory_parity():
     np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4)
 
     # Final params: convert the UPDATED torch state dict and diff trees.
-    ref_params, _, _ = convert.convert_clip_state_dict(
+    ref_params, ref_stats, _ = convert.convert_clip_state_dict(
         {k: v.detach().clone() for k, v in ref.state_dict().items()}
     )
+    if stats0 is not None:
+        # BN running statistics after 3 train steps: catches a momentum
+        # convention mismatch (torch 0.1 vs flax 0.9) outright.
+        for (path, ours_s), (_, ref_s) in zip(
+            jax.tree_util.tree_leaves_with_path(state.batch_stats),
+            jax.tree_util.tree_leaves_with_path(ref_stats),
+        ):
+            # Tolerance tracks the allowed param drift: stats are means of
+            # activations computed from params that may themselves differ by
+            # ~1e-4 after 3 Adam steps.  A momentum/bias-correction mismatch
+            # shows up ~100x larger (rel ~5e-2 by step 3).
+            np.testing.assert_allclose(
+                np.asarray(ours_s), np.asarray(ref_s), rtol=1e-3, atol=2e-4,
+                err_msg=f"running stat diverged: {jax.tree_util.keystr(path)}",
+            )
     flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
     flat_ours = dict(jax.tree_util.tree_leaves_with_path(state.params))
     assert len(flat_ref) == len(flat_ours)
     for path, leaf in flat_ref:
         ours_leaf, ref_leaf = np.asarray(flat_ours[path]), np.asarray(leaf)
+        if jax.tree_util.keystr(path).endswith("['k_proj']['bias']"):
+            # Same K-bias degeneracy as qkv_bias below, in the ResNet
+            # attention pool's separate k projection: skip entirely.
+            continue
         if jax.tree_util.keystr(path).endswith("['qkv_bias']"):
             # The K-projection bias has an EXACTLY-zero gradient (a constant
             # added to every key shifts each score row uniformly; softmax is
@@ -266,11 +292,15 @@ def test_training_trajectory_parity():
             # noise updates on both frameworks independently.  Skip the K
             # slice; q/v biases compare tightly below.
             ours_leaf, ref_leaf = ours_leaf[[0, 2]], ref_leaf[[0, 2]]
-        # atol 2e-4: Adam's normalizer (m/sqrt(v)) amplifies fp32 noise on
-        # near-zero-grad rows (rarely-hit token-embedding entries) to ~1e-4
-        # after 3 steps; real divergence (wrong wd mask, broken grad flow)
-        # shows up orders of magnitude larger AND in the loss trajectory.
-        np.testing.assert_allclose(
-            ours_leaf, ref_leaf, rtol=5e-3, atol=2e-4,
-            err_msg=f"param diverged after {steps} steps: {jax.tree_util.keystr(path)}",
+        # atol 2e-4 with <=0.1% element outliers (bounded at 1e-3 abs):
+        # Adam's normalizer (m/sqrt(v)) amplifies fp32 noise on
+        # near-zero-grad elements to ~lr-sized diffs after 3 steps; real
+        # divergence (wrong wd mask, broken grad flow) violates on whole
+        # tensors, orders of magnitude larger, AND in the loss trajectory.
+        close = np.isclose(ours_leaf, ref_leaf, rtol=5e-3, atol=2e-4)
+        n_bad = int(close.size - close.sum())
+        max_abs = float(np.max(np.abs(ours_leaf - ref_leaf))) if ours_leaf.size else 0.0
+        assert n_bad <= max(1, close.size // 1000) and max_abs < 5 * lr, (
+            f"param diverged after {steps} steps: {jax.tree_util.keystr(path)} "
+            f"({n_bad}/{close.size} elements off, max abs {max_abs:.2e})"
         )
