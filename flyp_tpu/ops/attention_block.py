@@ -46,8 +46,9 @@ _EPS = 1e-5
 def _items_per_program(B: int, L: int) -> int:
     """Grid programs per kernel = B / G.  Short sequences (the 77-token text
     tower) leave per-item programs overhead-dominated — batch 4 items per
-    program there; vision (197 tokens) stays at 1 (measured: G=8/2 is
-    identical in throughput, so keep the lower-VMEM config)."""
+    program there; vision (197 tokens) stays at 1 (measured twice: text
+    G=8 == G=4 and vision G=2 == G=1 within noise — per-program overhead
+    is already amortized, so keep the lower-VMEM config)."""
     G = 4 if L <= 96 else 1
     while G > 1 and B % G:
         G //= 2
