@@ -167,3 +167,32 @@ def test_feature_cache_hit_skips_encoder(tmp_path):
     assert CountingClassifier.calls == 3
     fd = FeatureDataset(val)
     assert len(fd) == 2 and fd[1]["labels"] == 1
+
+
+def test_zeroshot_tokenize_cache(monkeypatch):
+    """Per-epoch head rebuilds re-encode with NEW params but identical
+    prompts; tokenization must run once (the reference re-tokenizes every
+    epoch, `zeroshot.py:56-62`) while embeddings still track the params."""
+    import jax
+
+    from flyp_tpu.evaluation import zeroshot as zs
+
+    model, variables = tiny_model()
+    template = get_template("simple_template")
+    zs._token_cache.clear()
+    calls = {"n": 0}
+    real_tokenize = zs.tokenize
+
+    def counting(prompts):
+        calls["n"] += 1
+        return real_tokenize(prompts)
+
+    monkeypatch.setattr(zs, "tokenize", counting)
+    h1 = get_zeroshot_classifier(model, variables, ["cat", "dog"], template)
+    assert calls["n"] == 1
+    v2 = jax.tree_util.tree_map(lambda x: x * 1.01, variables)
+    h2 = get_zeroshot_classifier(model, v2, ["cat", "dog"], template)
+    assert calls["n"] == 1  # cache hit on identical prompts
+    assert not np.allclose(np.asarray(h1.weight), np.asarray(h2.weight))
+    get_zeroshot_classifier(model, variables, ["cat", "bird"], template)
+    assert calls["n"] == 2  # different classnames -> new tokenization
