@@ -100,6 +100,9 @@ class ExperimentConfig:
     #: Adam moment storage: "float32" (reference parity) or "bfloat16"
     #: (half the optimizer state HBM/traffic; fp32 math either way).
     adam_moment_dtype: str = "float32"
+    #: Log the global gradient L2 norm each step (the reference's
+    #: ``wandb.watch(model, log="gradients")`` analog, `flyp_loss.py:341`).
+    log_grad_norm: bool = False
     remat: bool = False
     log_dir: Optional[str] = None
     data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" | "native" (C++ lib) | "grain"
@@ -175,6 +178,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_replica", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--adam_moment_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--log_grad_norm", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")
     p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)

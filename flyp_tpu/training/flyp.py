@@ -296,17 +296,17 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # custom_partitioning rule keeps batch sharding and gathers the
         # model-axis feature shards), so TP runs keep the flagship kernel.
         state = shard_train_state(mesh, state)
-        step_fn = make_train_step(model, optimizer, mesh=None)
+        step_fn = make_train_step(model, optimizer, mesh=None, log_grad_norm=cfg.log_grad_norm)
     elif cfg.fsdp:
         # ZeRO-style: params + AdamW moments sharded over the data axis;
         # GSPMD inserts the gathers/reduce-scatters (SURVEY §2.7 optional).
         from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
 
         state = shard_train_state_fsdp(mesh, state)
-        step_fn = make_train_step(model, optimizer, mesh=None)
+        step_fn = make_train_step(model, optimizer, mesh=None, log_grad_norm=cfg.log_grad_norm)
     else:
         state = replicate(mesh, state)
-        step_fn = make_train_step(model, optimizer, mesh=mesh)
+        step_fn = make_train_step(model, optimizer, mesh=mesh, log_grad_norm=cfg.log_grad_norm)
     batch_shard = batch_sharding(mesh)
 
     explore_rng = np.random.default_rng(cfg.seed)
@@ -364,7 +364,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     cfg.epochs - start_epoch - cfg.curriculum_epoch, num_batches, cfg.min_lr,
                 )
                 optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
-                step_fn = make_train_step(model, optimizer, mesh=None if use_tp else mesh)
+                step_fn = make_train_step(model, optimizer, mesh=None if use_tp else mesh, log_grad_norm=cfg.log_grad_norm)
             if cur_guidance != 0 and cur_guidance != 100:
                 logger.info("Restart dataloader")
                 cur_guidance = 100
@@ -440,11 +440,16 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 per_item = np.asarray(metrics["per_item_loss"])
                 loss_pairs.extend(zip(np.asarray(batch["img_id"]).tolist(), per_item.tolist()))
 
-            sink.log({
+            record = {
                 "Epoch": epoch,
                 "ID FLYP Loss": loss_val,
                 "Learning Rate": float(metrics["learning_rate"]),
-            })
+            }
+            if "grad_norm" in metrics:
+                # --log_grad_norm: the wandb.watch(log="gradients") analog
+                # (`flyp_loss.py:341`), computed in-step at no extra cost.
+                record["Gradient Norm"] = float(metrics["grad_norm"])
+            sink.log(record)
             if i % print_every == 0:
                 pct = 100 * i / num_batches
                 logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {i}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")

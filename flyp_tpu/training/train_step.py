@@ -35,6 +35,7 @@ def make_train_step(
     google_sup_loss: bool = False,
     use_ground_labels: bool = False,
     donate: bool = True,
+    log_grad_norm: bool = False,
 ) -> Callable:
     """Build the compiled train step.
 
@@ -42,6 +43,13 @@ def make_train_step(
     (state, metrics)`` where metrics carries the mean loss, the per-item
     losses (curriculum clustering consumes them, `flyp_loss.py:502-506`) and
     the current learning rate.
+
+    ``log_grad_norm`` adds the global gradient L2 norm to the metrics —
+    the TPU-native stand-in for the reference's
+    ``wandb.watch(model, log="gradients")`` (`flyp_loss.py:341`; per-param
+    histograms need module hooks torch-style, but the global norm is the
+    metric people actually alert on).  It fuses into the update's existing
+    elementwise pass, so the step cost is unchanged.
     """
 
     def train_step(state: TrainState, images, tokens, ground_labels=None):
@@ -83,6 +91,8 @@ def make_train_step(
             "per_item_loss": per_item,
             "learning_rate": opt_state.hyperparams["learning_rate"],
         }
+        if log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     if not use_ground_labels:
@@ -92,10 +102,13 @@ def make_train_step(
             return jax.jit(unlabelled, donate_argnums=(0,) if donate else ())
         repl = replicated_sharding(mesh)
         batch = batch_sharding(mesh)
+        metric_shardings = {"loss": repl, "per_item_loss": batch, "learning_rate": repl}
+        if log_grad_norm:
+            metric_shardings["grad_norm"] = repl
         return jax.jit(
             unlabelled,
             in_shardings=(repl, batch, batch),
-            out_shardings=(repl, {"loss": repl, "per_item_loss": batch, "learning_rate": repl}),
+            out_shardings=(repl, metric_shardings),
             donate_argnums=(0,) if donate else (),
         )
 
@@ -104,9 +117,12 @@ def make_train_step(
 
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
+    metric_shardings = {"loss": repl, "per_item_loss": repl, "learning_rate": repl}
+    if log_grad_norm:
+        metric_shardings["grad_norm"] = repl
     return jax.jit(
         train_step,
         in_shardings=(repl, batch, batch, batch),
-        out_shardings=(repl, {"loss": repl, "per_item_loss": repl, "learning_rate": repl}),
+        out_shardings=(repl, metric_shardings),
         donate_argnums=(0,) if donate else (),
     )

@@ -93,6 +93,51 @@ def test_train_step_single_device_loss_decreases():
     assert int(state.step) == 5
 
 
+def test_train_step_grad_norm_metric():
+    """--log_grad_norm surfaces the global grad L2 norm (wandb.watch analog).
+
+    The value must equal optax.global_norm of the loss gradients computed
+    outside the step, and the metric must be absent by default.
+    """
+    import optax
+    from flyp_tpu.ops import clip_loss
+
+    cfg = tiny_config()
+    model = CLIPModel(cfg)
+    params = init_clip_params(model, 0)
+    sched = warmup_cosine_lr(1e-3, 2, 50)
+    opt = make_optimizer(sched, weight_decay=0.1)
+    state = create_train_state(params, opt)
+    images, tokens = make_batch()
+
+    _, plain = make_train_step(model, opt, donate=False)(
+        state, jnp.asarray(images), jnp.asarray(tokens)
+    )
+    assert "grad_norm" not in plain
+
+    step_fn = make_train_step(model, opt, donate=False, log_grad_norm=True)
+    _, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(tokens))
+
+    def mean_loss(p, i, t):
+        img_f, txt_f, scale = model.apply({"params": p}, i, t)
+        return jnp.mean(clip_loss(img_f, txt_f, scale))
+
+    grads = jax.grad(mean_loss)(params, jnp.asarray(images), jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(optax.global_norm(grads)), rtol=1e-4
+    )
+
+    # Mesh path: the metric is replicated and matches single-device.
+    mesh = create_mesh()
+    state_m = replicate(mesh, create_train_state(params, make_optimizer(sched, weight_decay=0.1)))
+    sharded = make_train_step(
+        model, make_optimizer(sched, weight_decay=0.1), mesh=mesh, donate=False, log_grad_norm=True
+    )
+    imgs_s, toks_s = shard_batch(mesh, (jnp.asarray(images), jnp.asarray(tokens)))
+    _, m2 = sharded(state_m, imgs_s, toks_s)
+    np.testing.assert_allclose(float(m2["grad_norm"]), float(metrics["grad_norm"]), rtol=1e-3)
+
+
 def test_train_step_sharded_matches_single_device():
     """One pjit step on the 8-device mesh == the same step on one device."""
     cfg = tiny_config()
