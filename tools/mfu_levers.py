@@ -142,6 +142,52 @@ def pallas_score_depth():
         print(f"pallas score depth hd={hd:3d}: {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TFLOP/s")
 
 
+def row_quant():
+    """Does the MXU quantize matmul ROW counts to the 16-sublane bf16 tile?
+
+    The fused block kernels pad sequence length to 16 (``_pad_len``), so
+    every row-wise matmul (QKV/out-proj/dW/dY/do) runs on G*Lp rows when
+    only G*L are useful — 28% padding at ViT-B/32's L=50, 5.6% at
+    ViT-B/16's 197.  Mosaic accepts exact-length blocks when the block dim
+    equals the array dim, but if the hardware pads rows back to tile
+    granularity internally, exact-length buys only HBM traffic, not time.
+    This times the QKV projection geometry [R, 768] @ [768, 2304] for
+    R in {197 (exact B/16), 200 (exact B/32 G=4), 208, 256 (padded)}:
+    if time scales with R, exact-length blocks are a real lever."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    B, D, N = 256, 768, 2304
+    w = jnp.asarray(rng.standard_normal((D, N)), jnp.bfloat16)
+
+    def kernel(x_ref, w_ref, o_ref):
+        o_ref[0] = jax.lax.dot_general(
+            x_ref[0], w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+    for R in (197, 200, 208, 256):
+        x = jnp.asarray(rng.standard_normal((B, R, D)), jnp.bfloat16)
+        fn = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, R, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, R, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, R, N), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+        jfn = jax.jit(fn)
+        t = _time(jfn, x, w)
+        fl = 2 * B * R * D * N
+        print(f"row_quant R={R:3d}: {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TFLOP/s  ({t/B*1e6:6.1f} us/program)")
+
+
 def adamw_tail(n_params=150_000_000):
     rng = np.random.default_rng(0)
     shape = (n_params // 1024, 1024)
@@ -282,6 +328,8 @@ if __name__ == "__main__":
         matmul_ceiling()
     if which in ("depth", "all"):
         pallas_score_depth()
+    if which in ("row_quant", "all"):
+        row_quant()
     if which in ("adamw", "all"):
         adamw_tail()
     if which in ("adamw_pallas", "all"):
