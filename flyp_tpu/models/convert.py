@@ -8,10 +8,11 @@ files, never at train time.
 Layout changes performed:
   * torch Linear ``[out, in]`` kernels -> ``[in, out]``
   * torch Conv ``[out, in, kh, kw]`` -> HWIO ``[kh, kw, in, out]``
-  * fused attention ``in_proj_weight [3D, D]`` -> ``qkv_kernel [D, 3, D]``
-    (transpose then a free reshape: the 3D axis is q|k|v-major, and within
-    each tower the features are head-major, so the last axis dim-shards
-    into head groups for tensor parallelism)
+  * fused attention ``in_proj_weight [3D, D]`` -> ``qkv_kernel [3, D, D]``
+    (reshape then a per-tower transpose: the leading axis is q|k|v, and
+    within each tower the output features are head-major, so the last axis
+    dim-shards into head groups for tensor parallelism; the leading size-3
+    axis keeps the tiled last-two dims 8/128-aligned on TPU)
   * LayerNorm ``weight``/``bias`` -> ``scale``/``bias`` (float32)
 """
 
@@ -92,9 +93,9 @@ def _convert_block(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
         "ln_1": {"scale": state[f"{prefix}.ln_1.weight"], "bias": state[f"{prefix}.ln_1.bias"]},
         "ln_2": {"scale": state[f"{prefix}.ln_2.weight"], "bias": state[f"{prefix}.ln_2.bias"]},
         "attn": {
-            "qkv_kernel": state[f"{prefix}.attn.in_proj_weight"].T.reshape(
-                state[f"{prefix}.attn.in_proj_weight"].shape[1], 3, -1
-            ),
+            "qkv_kernel": state[f"{prefix}.attn.in_proj_weight"]
+            .reshape(3, -1, state[f"{prefix}.attn.in_proj_weight"].shape[1])
+            .transpose(0, 2, 1),
             "qkv_bias": state[f"{prefix}.attn.in_proj_bias"].reshape(3, -1),
             "out_kernel": state[f"{prefix}.attn.out_proj.weight"].T,
             "out_bias": state[f"{prefix}.attn.out_proj.bias"],

@@ -59,14 +59,16 @@ class LayerNormFp32(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """Self-attention with a single fused QKV matmul.
+    """Self-attention with a fused QKV projection.
 
-    One ``[B, L, D] @ [D, 3, D]`` projection keeps the MXU busy with a large
-    matmul instead of three small ones; the kernel layout separates the
-    q/k/v axis so the last (output-feature) axis is head-major — a plain
-    dim-sharding of that axis over the ``model`` mesh axis IS head-group
-    tensor parallelism.  Torch ``nn.MultiheadAttention`` in_proj converts
-    with a transpose + free reshape.
+    The kernel is stored ``[3, D, D]`` — q/k/v on the LEADING axis so the
+    tiled last-two dims stay 8/128-aligned (a middle size-3 axis forces
+    XLA relayout copies on every use, grad, and Adam moment — measured
+    ~12 ms/step on ViT-L, tools/layout_copies.py); the last
+    (output-feature) axis is head-major, so a plain dim-sharding of that
+    axis over the ``model`` mesh axis IS head-group tensor parallelism.
+    Torch ``nn.MultiheadAttention`` in_proj ``[3D, D]`` converts with a
+    reshape + per-tower transpose.
     """
 
     width: int
@@ -79,7 +81,7 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.width // self.heads
 
         qkv_kernel = self.param(
-            "qkv_kernel", nn.initializers.normal(self.width ** -0.5), (D, 3, D), jnp.float32
+            "qkv_kernel", nn.initializers.normal(self.width ** -0.5), (3, D, D), jnp.float32
         )
         qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3, D), jnp.float32)
         out_kernel = self.param(
@@ -90,7 +92,7 @@ class MultiHeadAttention(nn.Module):
         # [B, L, 3, D]: keeping q/k/v and head-features as separate axes lets
         # GSPMD keep head shards local under TP (a [D, 3D] flatten would mix
         # the sharded axis and force a gather).
-        qkv = _einsum("bld,dte->blte", x, qkv_kernel) + qkv_bias.astype(x.dtype)
+        qkv = _einsum("bld,tde->blte", x, qkv_kernel) + qkv_bias.astype(x.dtype)
 
         from flyp_tpu.ops.attention import _default_impl
 
@@ -150,7 +152,7 @@ class _AttnParams(nn.Module):
     def __call__(self):
         D = self.width
         return (
-            self.param("qkv_kernel", nn.initializers.normal(D ** -0.5), (D, 3, D), jnp.float32),
+            self.param("qkv_kernel", nn.initializers.normal(D ** -0.5), (3, D, D), jnp.float32),
             self.param("qkv_bias", nn.initializers.zeros, (3, D), jnp.float32),
             self.param("out_kernel", nn.initializers.normal(D ** -0.5), (D, D), jnp.float32),
             self.param("out_bias", nn.initializers.zeros, (D,), jnp.float32),

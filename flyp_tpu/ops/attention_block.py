@@ -18,7 +18,7 @@ are cheap by construction: LN from ``x`` (VPU), and the probability
 matrix from the saved ``qkv`` + per-(row, head) log-sum-exp stats — one
 score matmul and one exp, no softmax max/sum/div passes.
 
-Tensor parallelism (round 3): the QKV weight is ``[D, 3, D]`` — the last
+Tensor parallelism (round 3): the QKV weight is ``[3, D, D]`` — the last
 axis is head-major output features, so sharding it over the mesh's
 ``model`` axis IS head-group TP.  The ``custom_partitioning`` rules
 detect that sharding and run the SAME kernels per shard with
@@ -93,26 +93,40 @@ def _layer_norm(x32, scale_ref, bias_ref):
     return xhat, rstd, y32
 
 
+def _project_towers(y, wqkv_ref, bqkv_ref, L, Lp, out_dtype):
+    """Per-tower QKV projection: three ``[G*Lp, D] @ [D, Dv]`` matmuls from
+    the ``[3, D, Dv]`` weight.  Splitting the fused ``[D, 3Dv]`` matmul into
+    three keeps the weight in its tile-perfect storage layout — the old
+    ``[D, 3, Dv]`` param put a size-3 next-to-minor dim into the XLA layout
+    and every use/grad/Adam-moment re-laid it out with physical copies
+    (measured ~12 ms/step on ViT-L bs64 remat, tools/layout_copies.py).
+    MXU geometry is unchanged: K=D depth, N=Dv>=384 per product.
+
+    Row-zeroing the padding rows here makes the additive mask NaN-safe
+    (block padding reads are undefined; a NaN k row would poison valid
+    rows through the softmax row-max)."""
+    outs = []
+    for t in range(3):
+        p = (
+            jax.lax.dot_general(y, wqkv_ref[t], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + bqkv_ref[t, :]
+        ).astype(out_dtype)
+        outs.append(_row_zero_flat(p, L, Lp))
+    return outs
+
+
 def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_ref, q_ref, k_ref, v_ref, lse_ref):
     # D = residual-stream width; Dv = per-tower (q/k/v) inner width.  They
     # differ under head-group TP, where this program holds H = H_global/n
     # heads and Dv = D/n columns of each tower.
     D = x_ref.shape[-1]
-    Dv = wqkv_ref.shape[1] // 3
+    Dv = wqkv_ref.shape[-1]
     Lp = x_ref.shape[1]
     head_dim = Dv // H
     xf = x_ref[:].reshape(G * Lp, D)  # G items flattened: big row-wise matmuls
     _, _, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
     y = y32.astype(xf.dtype)
-    qkvf = (
-        jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        + bqkv_ref[0, :]
-    ).astype(xf.dtype)
-    # One [G*Lp, 3Dv] zeroing of the padding rows replaces the three per-head
-    # q/k/v zeros AND makes the additive mask NaN-safe (block padding reads
-    # are undefined; a NaN k row would poison valid rows through the softmax
-    # row-max, which the old value-replacing `where` mask was immune to).
-    qkvf = _row_zero_flat(qkvf, L, Lp)
+    qf, kf, vf = _project_towers(y, wqkv_ref, bqkv_ref, L, Lp, xf.dtype)
     # Saved for backward: re-deriving qkv there would cost a full extra
     # matmul per layer (measured: it cancels the fusion win entirely).
     # Three SEPARATE [B, L, Dv] arrays: a fused [B, L, 3, Dv] save puts a
@@ -121,23 +135,26 @@ def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, 
     # end-to-end on ViT-L) — and a [B, L, 3Dv] save cannot express
     # head-group sharding.  Per-tower arrays have standard layouts AND
     # dim-shard over heads.
-    q_ref[:] = qkvf[:, :Dv].reshape(G, Lp, Dv)
-    k_ref[:] = qkvf[:, Dv : 2 * Dv].reshape(G, Lp, Dv)
-    v_ref[:] = qkvf[:, 2 * Dv :].reshape(G, Lp, Dv)
+    q_ref[:] = qf.reshape(G, Lp, Dv)
+    k_ref[:] = kf.reshape(G, Lp, Dv)
+    v_ref[:] = vf.reshape(G, Lp, Dv)
+    # sm_scale folded into q once ([G*Lp, Dv] pass) — no [L, L] scale pass
+    # per head.  The saved lse is relative to the SCALED scores; the
+    # backward pre-scales q the same way.
+    qsf = qf * scale
     # No per-head row-zeroing needed: masked score COLUMNS are exactly 0
     # after softmax, and every padding ROW of o/out is dropped when the
     # block writes back to the unpadded [B, L, D] arrays.
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
-        qkv = qkvf[g * Lp : (g + 1) * Lp]
-        # sm_scale folded into q once per item ([Lp, Dv] pass) — no [L, L]
-        # scale pass per head.  The saved lse is relative to the SCALED
-        # scores; the backward pre-scales q the same way.
-        qs = qkv[:, :Dv] * scale
+        rows = slice(g * Lp, (g + 1) * Lp)
+        qs, k_g, v_g = qsf[rows], kf[rows], vf[rows]
         lse_cols = []
         for h in range(H):
-            _, k, v = _heads_2d(qkv, Dv, head_dim, h)
-            q = qs[:, h * head_dim : (h + 1) * head_dim]
+            hs = slice(h * head_dim, (h + 1) * head_dim)
+            k = k_g[:, hs]
+            v = v_g[:, hs]
+            q = qs[:, hs]
             # Late renormalization + saved log-sum-exp: the [L, L] division
             # becomes an [L, head_dim] scale, and the backward reconstructs
             # p with a single exp instead of a full softmax recompute.
@@ -168,7 +185,7 @@ def _fwd_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, 
 def _bwd_kernel(
     L, H, G, causal, scale, add_g,
     x_ref, gout_ref, q_ref, k_ref, v_ref, lse_ref, g_ref, b_ref, wqkv_ref,
-    wout_ref, dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref, dqkv_scr,
+    wout_ref, dx_ref, dwqkv_ref, dbqkv_ref, dg_ref, db_ref, dq_scr, dk_scr, dv_scr,
 ):
     D = x_ref.shape[-1]
     Dv = q_ref.shape[-1]
@@ -245,24 +262,26 @@ def _bwd_kernel(
                 * sm_scale
             )
             dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            dqkv_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_scr.dtype)
-            dqkv_scr[row0 : row0 + Lp, Dv + h * head_dim : Dv + (h + 1) * head_dim] = dk.astype(dqkv_scr.dtype)
-            dqkv_scr[row0 : row0 + Lp, 2 * Dv + h * head_dim : 2 * Dv + (h + 1) * head_dim] = dv.astype(
-                dqkv_scr.dtype
-            )
-    dqkv = dqkv_scr[:]
+            dq_scr[row0 : row0 + Lp, hs] = dq.astype(dq_scr.dtype)
+            dk_scr[row0 : row0 + Lp, hs] = dk.astype(dk_scr.dtype)
+            dv_scr[row0 : row0 + Lp, hs] = dv.astype(dv_scr.dtype)
 
-    # Weight/bias grads accumulate across the sequential batch grid.
-    dwqkv_ref[:] += jax.lax.dot_general(
-        y, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dbqkv_ref[0, :] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
-
-    # Back through the projection and the fp32 LayerNorm island.  Under TP
-    # dY is PARTIAL (this shard's head-group columns of Wqkv); everything
-    # below — dg, db, dxhat, dx — is linear in dY, so the partition lowering
-    # simply psums these outputs over the model axis.
-    dY = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # Weight/bias grads accumulate across the sequential batch grid, one
+    # [D, Dv] product per tower against the [3, D, Dv] storage layout
+    # (see _project_towers for why the fused [D, 3Dv] form is gone).
+    dY = None
+    for t, scr in enumerate((dq_scr, dk_scr, dv_scr)):
+        dt = scr[:]
+        dwqkv_ref[t] += jax.lax.dot_general(
+            y, dt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dbqkv_ref[0, t * Dv : (t + 1) * Dv] += jnp.sum(dt.astype(jnp.float32), axis=0)
+        # Back through the projection: dY = sum_t d_t @ W_t^T.  Under TP dY
+        # is PARTIAL (this shard's head-group columns of Wqkv); everything
+        # below — dg, db, dxhat, dx — is linear in dY, so the partition
+        # lowering simply psums these outputs over the model axis.
+        dYt = jax.lax.dot_general(dt, wqkv_ref[t], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dY = dYt if dY is None else dY + dYt
     dY = _row_zero_flat(dY, L, Lp)
     xhat = _row_zero_flat(xhat, L, Lp)
     dg_ref[0, :] += jnp.sum(dY * xhat, axis=0)
@@ -281,36 +300,27 @@ def _bwd_kernel(
     dx_ref[:] = _row_zero_flat(dx, L, Lp).astype(dx_ref.dtype).reshape(G, Lp, D)
 
 
-def _heads_2d(qkv, Dv, head_dim, h):
-    q = qkv[:, h * head_dim : (h + 1) * head_dim]
-    k = qkv[:, Dv + h * head_dim : Dv + (h + 1) * head_dim]
-    v = qkv[:, 2 * Dv + h * head_dim : 2 * Dv + (h + 1) * head_dim]
-    return q, k, v
-
-
 def _fwd_infer_kernel(L, H, G, causal, scale, partial, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, out_ref, o_scr):
     """Inference forward: same math as _fwd_kernel, but the backward
     residuals (qkv, o) are never written to HBM — o assembles in scratch."""
     D = x_ref.shape[-1]
-    Dv = wqkv_ref.shape[1] // 3
+    Dv = wqkv_ref.shape[-1]
     Lp = x_ref.shape[1]
     head_dim = Dv // H
     xf = x_ref[:].reshape(G * Lp, D)
     _, _, y32 = _layer_norm(xf.astype(jnp.float32), g_ref, b_ref)
     y = y32.astype(xf.dtype)
-    qkvf = (
-        jax.lax.dot_general(y, wqkv_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        + bqkv_ref[0, :]
-    ).astype(xf.dtype)
-    qkvf = _row_zero_flat(qkvf, L, Lp)
+    qf, kf, vf = _project_towers(y, wqkv_ref, bqkv_ref, L, Lp, xf.dtype)
+    qsf = qf * scale
     bias = _mask_bias(Lp, L, causal)
     for g in range(G):
-        qkv = qkvf[g * Lp : (g + 1) * Lp]
-        qs = qkv[:, :Dv] * scale
+        rows = slice(g * Lp, (g + 1) * Lp)
+        qs, k_g, v_g = qsf[rows], kf[rows], vf[rows]
         row0 = g * Lp
         for h in range(H):
-            _, k, v = _heads_2d(qkv, Dv, head_dim, h)
-            p = _softmax_masked(qs[:, h * head_dim : (h + 1) * head_dim], k, bias)
+            hs = slice(h * head_dim, (h + 1) * head_dim)
+            k, v = k_g[:, hs], v_g[:, hs]
+            p = _softmax_masked(qs[:, hs], k, bias)
             o_scr[row0 : row0 + Lp, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
                 p.astype(xf.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ).astype(o_scr.dtype)
@@ -328,12 +338,13 @@ def _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal,
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
+    const3 = lambda b: (0, 0, 0)
     specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, D, Dv), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, Dv), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((Dv, D), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
     ]
@@ -351,8 +362,8 @@ def _fwd_infer_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal,
         x,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
-        bqkv.reshape(1, 3 * Dv).astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.astype(jnp.float32),
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
@@ -400,9 +411,11 @@ def attention_block(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, out_kernel, out_
 
     ``x`` is ``[B, L, D]``; weights are the CLIP block params (fp32 in the
     tree, cast to the activation dtype for the MXU).  ``qkv_kernel`` is
-    ``[D, 3, D]`` / ``qkv_bias`` ``[3, D]`` — q|k|v on the middle axis,
-    head-major features on the last, so the ``model`` mesh axis dim-shards
-    it into head groups (see module docstring).
+    ``[3, D, D]`` / ``qkv_bias`` ``[3, D]`` — q|k|v on the leading axis
+    (tile-clean last-two dims; a middle size-3 axis forces XLA layout
+    copies on every use, grad, and Adam moment), head-major features on
+    the last, so the ``model`` mesh axis dim-shards it into head groups
+    (see module docstring).
 
     The backward computes ``do = g @ Wout^T`` (and the residual g-add)
     inside the kernel — measured -4.5 ms/step at ViT-B/16 bs256 and
@@ -420,12 +433,13 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
+    const3 = lambda b: (0, 0, 0)
     specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
-        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # Wqkv
-        pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),    # bqkv
+        pl.BlockSpec((3, D, Dv), const3, memory_space=pltpu.VMEM),     # Wqkv
+        pl.BlockSpec((3, Dv), const2, memory_space=pltpu.VMEM),        # bqkv
         pl.BlockSpec((Dv, D), const2, memory_space=pltpu.VMEM),        # Wout
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # bout
     ]
@@ -460,8 +474,8 @@ def _fwd_call(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, heads, causal, inter
         x,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
-        bqkv.reshape(1, 3 * Dv).astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.astype(jnp.float32),
         wout.astype(x.dtype),
         bout.reshape(1, D).astype(jnp.float32),
     )
@@ -502,6 +516,7 @@ def _bwd_call(x, gout, q, k, v, lse, ln_scale, ln_bias, wqkv, wout, heads, causa
     G = _items_per_program(B, L)
     row = lambda b: (b, 0, 0)
     const2 = lambda b: (0, 0)
+    const3 = lambda b: (0, 0, 0)
     in_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # x
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # g (block output grad)
@@ -511,12 +526,12 @@ def _bwd_call(x, gout, q, k, v, lse, ln_scale, ln_bias, wqkv, wout, heads, causa
         pl.BlockSpec((G, Lp, heads), row, memory_space=pltpu.VMEM),    # lse (fwd-saved)
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln scale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # ln bias
-        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # Wqkv
+        pl.BlockSpec((3, D, Dv), const3, memory_space=pltpu.VMEM),     # Wqkv
         pl.BlockSpec((Dv, D), const2, memory_space=pltpu.VMEM),        # Wout
     ]
     out_specs = [
         pl.BlockSpec((G, Lp, D), row, memory_space=pltpu.VMEM),        # dx
-        pl.BlockSpec((D, 3 * Dv), const2, memory_space=pltpu.VMEM),    # dWqkv
+        pl.BlockSpec((3, D, Dv), const3, memory_space=pltpu.VMEM),     # dWqkv
         pl.BlockSpec((1, 3 * Dv), const2, memory_space=pltpu.VMEM),    # dbqkv
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dscale
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),         # dbias
@@ -531,7 +546,7 @@ def _bwd_call(x, gout, q, k, v, lse, ln_scale, ln_bias, wqkv, wout, heads, causa
         lse,
         ln_scale.reshape(1, D).astype(jnp.float32),
         ln_bias.reshape(1, D).astype(jnp.float32),
-        wqkv.reshape(D, 3 * Dv).astype(x.dtype),
+        wqkv.astype(x.dtype),
         wout.astype(x.dtype),
     ]
     dx, dwqkv, dbqkv, dscale, dbias = pl.pallas_call(
@@ -541,19 +556,23 @@ def _bwd_call(x, gout, q, k, v, lse, ln_scale, ln_bias, wqkv, wout, heads, causa
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
-            jax.ShapeDtypeStruct((D, 3 * Dv), jnp.float32),
+            jax.ShapeDtypeStruct((3, D, Dv), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * Dv), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * Lp, 3 * Dv), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((G * Lp, Dv), x.dtype),
+            pltpu.VMEM((G * Lp, Dv), x.dtype),
+            pltpu.VMEM((G * Lp, Dv), x.dtype),
+        ],
         # ~20-35MB resident with G-batched blocks + fp32 accumulators;
         # the 16MB Mosaic default is a soft limit (measured: 36MB-resident
         # kernels run fine on v5e).
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return dx, dwqkv.reshape(D, 3, Dv), dbqkv.reshape(3, Dv), dscale, dbias
+    return dx, dwqkv, dbqkv.reshape(3, Dv), dscale, dbias
 
 
 def _spec_dim(arg_shapes, i, dim):
@@ -586,7 +605,7 @@ def _named(mesh, spec):
 
 def _force_shardings(mesh, b, shapes, batch_flags):
     """Batch-dim sharding where flagged, replication everywhere else (the
-    [D, 3, D] weight is rank-3 but NOT batch-led, so rank is no signal)."""
+    [3, D, D] weight is rank-3 but NOT batch-led, so rank is no signal)."""
     from jax.sharding import PartitionSpec as P
 
     out = []
@@ -618,14 +637,14 @@ _BATCH_RES = {
 # need-replication: GSPMD gathers any length/stream-feature sharding, but
 # head shards stay put.
 _FWD_RULE = (
-    "b l1 f1, f2, f3, f4 t1 (h i), t2 (h i), (h i) f5, f6 "
+    "b l1 f1, f2, f3, t1 f4 (h i), t2 (h i), (h i) f5, f6 "
     "-> b l2 f7, b l3 (h i), b l4 (h i), b l5 (h i), b l6 (h i), b l7 h"
 )
-_FWD_INFER_RULE = "b l1 f1, f2, f3, f4 t1 (h i), t2 (h i), (h i) f5, f6 -> b l2 f7"
+_FWD_INFER_RULE = "b l1 f1, f2, f3, t1 f4 (h i), t2 (h i), (h i) f5, f6 -> b l2 f7"
 _BWD_RULE = (
     "b l1 f1, b l2 f9, b l3 (h i), b l4 (h i), b l5 (h i), b l6 h, "
-    "f2, f3, f4 t2 (h i), (h i) f10 "
-    "-> b l7 f5, f6 t3 (h i), t4 (h i), c1 f7, c2 f8"
+    "f2, f3, t2 f4 (h i), (h i) f10 "
+    "-> b l7 f5, t3 f6 (h i), t4 (h i), c1 f7, c2 f8"
 )
 
 
@@ -645,7 +664,7 @@ def _partitioned(kind: str, heads: int, head_dim: int, causal: bool, interpret: 
     """GSPMD/Shardy-partitionable wrappers.
 
     Batch sharding passes through (each data shard runs the kernel on its
-    rows).  When the ``[D, 3, D]`` QKV weight's last axis is sharded over a
+    rows).  When the ``[3, D, D]`` QKV weight's last axis is sharded over a
     mesh axis (head-group TP, `parallel/tp.py`), the lowering runs the
     kernels with ``H/n`` local heads per shard — no weight all-gather; the
     forward psums the partial out-projection, the backward psums the

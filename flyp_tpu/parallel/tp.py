@@ -28,7 +28,7 @@ from flyp_tpu.parallel.mesh import MODEL_AXIS
 
 def _spec_for(path: str, shape) -> P:
     if path.endswith("attn/qkv_kernel"):
-        # [D, 3, D]: the last axis is head-major output features — sharding
+        # [3, D, D]: the last axis is head-major output features — sharding
         # it IS head-group TP; the fused attention-block kernel runs
         # per-shard with H/n local heads (ops/attention_block.py rules).
         return P(None, None, MODEL_AXIS)

@@ -19,7 +19,7 @@ def _params(D, seed=0):
     return dict(
         ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32),
         ln_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
-        wqkv=jnp.asarray(rng.standard_normal((D, 3, D)) * D ** -0.5, jnp.float32),
+        wqkv=jnp.asarray(rng.standard_normal((3, D, D)) * D ** -0.5, jnp.float32),
         bqkv=jnp.asarray(0.1 * rng.standard_normal((3, D)), jnp.float32),
         wout=jnp.asarray(rng.standard_normal((D, D)) * D ** -0.5, jnp.float32),
         bout=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
@@ -35,9 +35,8 @@ def _reference(x, p, heads, causal):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["ln_scale"] + p["ln_bias"]).astype(x.dtype)
-    wqkv = p["wqkv"].reshape(D, 3 * D)
-    qkv = jnp.einsum("bld,de->ble", y, wqkv.astype(x.dtype)) + p["bqkv"].reshape(3 * D).astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qkv = jnp.einsum("bld,tde->blte", y, p["wqkv"].astype(x.dtype)) + p["bqkv"].astype(x.dtype)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     hd = D // heads
     o = xla_attention(
         q.reshape(B, L, heads, hd), k.reshape(B, L, heads, hd), v.reshape(B, L, heads, hd), causal
@@ -104,7 +103,7 @@ def test_attention_block_partitioned_over_mesh():
     args_s = [jax.device_put(a, NamedSharding(mesh, P(*([None] * a.ndim)))) for a in args]
     # Sharding a need-replication dim (the contraction rows) must be
     # gathered, not fail.
-    args_s[keys.index("wqkv")] = jax.device_put(p["wqkv"], NamedSharding(mesh, P("model", None, None)))
+    args_s[keys.index("wqkv")] = jax.device_put(p["wqkv"], NamedSharding(mesh, P(None, "model", None)))
 
     grads_mesh = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))(x_s, *args_s)
     for name, a, b in zip(["x"] + keys, grads_mesh, grads_1dev):
@@ -113,7 +112,7 @@ def test_attention_block_partitioned_over_mesh():
 
 @pytest.mark.parametrize("causal", [False, True])
 def test_attention_block_head_sharded_tp(causal):
-    """Head-group tensor parallelism: with the [D, 3, D] QKV kernel's last
+    """Head-group tensor parallelism: with the [3, D, D] QKV kernel's last
     axis sharded over the model axis, the kernel executes per shard on its
     local head group — the compiled HLO contains NO all-gather of the
     weight — and values+grads equal the single-device run."""
@@ -155,11 +154,11 @@ def test_attention_block_head_sharded_tp(causal):
 
     grad_fn = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))
     # The weight must never be all-gathered: no collective producing the
-    # full [128, 3, 128] (or flattened [128, 384]) weight may appear.
+    # full [3, 128, 128] (or flattened [128, 384]) weight may appear.
     hlo = grad_fn.lower(x_s, *args_s).compile().as_text()
     for line in hlo.splitlines():
         if "all-gather" in line:
-            assert "f32[128,3,128]" not in line and "f32[128,384]" not in line, line
+            assert "f32[3,128,128]" not in line and "f32[128,384]" not in line, line
 
     grads_tp = grad_fn(x_s, *args_s)
     for name, a, b in zip(["x"] + keys, grads_tp, grads_1dev):

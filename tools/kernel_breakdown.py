@@ -43,7 +43,7 @@ def main(batch=256):
         p = dict(
             ln_scale=jnp.ones((D,), jnp.float32),
             ln_bias=jnp.zeros((D,), jnp.float32),
-            wqkv=jnp.asarray(rng.standard_normal((D, 3, D)) * D ** -0.5, jnp.float32),
+            wqkv=jnp.asarray(rng.standard_normal((3, D, D)) * D ** -0.5, jnp.float32),
             bqkv=jnp.zeros((3, D), jnp.float32),
             wout=jnp.asarray(rng.standard_normal((D, D)) * D ** -0.5, jnp.float32),
             bout=jnp.zeros((D,), jnp.float32),

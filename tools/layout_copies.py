@@ -1,7 +1,7 @@
 """Audit physical copy/transpose ops in the compiled train step's HLO.
 
 Round-3 roadmap item: ViT-L under remat showed ~1.5 ms of layout copies
-around the fused attention kernel's ``[D, 3, D]`` QKV weights
+around the fused attention kernel's ``[D, 3, D]`` QKV weights (since restructured to ``[3, D, D]``)
 (docs/BENCHMARKS.md "Saved-residual layout").  This tool compiles the
 exact bench.py train step (no execution — AOT lower+compile only) and
 tallies every ``copy``/``transpose`` instruction by shape and byte count,
