@@ -42,7 +42,7 @@ def test_param_specs():
     params = init_clip_params(model, 0)
     specs = clip_param_specs(params)
     attn = specs["visual"]["transformer"]["block_0"]["attn"]
-    # [D, 3, D]: last axis is head-major features — sharding it is
+    # [3, D, D]: last axis is head-major features — sharding it is
     # head-group TP (the fused kernel runs per shard, no weight gather).
     assert attn["qkv_kernel"] == P(None, None, "model")
     assert attn["qkv_bias"] == P(None, "model")
