@@ -70,22 +70,21 @@ class DataLoader:
         self.process_count = process_count
 
     def _proc(self) -> tuple[int, int]:
-        if self.process_count is not None:
-            return self.process_index or 0, self.process_count
-        try:
-            import jax
+        from flyp_tpu.parallel.multihost import resolve_process
 
-            return jax.process_index(), jax.process_count()
-        except Exception:  # pragma: no cover - jax always importable here
-            return 0, 1
+        return resolve_process(self.process_index, self.process_count)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        rank, count = self._proc()
-        n = len(self.dataset)
-        n = (n - rank + count - 1) // count  # this process's share of rows
+        _, count = self._proc()
+        # EQUAL floor share on every process: collective train steps require
+        # every host to run the same number of batches per epoch (a ceil
+        # share would hang the slice on the last step and skew the LR
+        # schedule horizon).  Up to count-1 trailing rows of the seeded
+        # global order are dropped per epoch, like grain's drop_remainder.
+        n = len(self.dataset) // count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
@@ -94,7 +93,7 @@ class DataLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         rank, count = self._proc()
         if count > 1:
-            order = order[rank::count]
+            order = order[: count * (len(order) // count)][rank::count]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

@@ -67,22 +67,18 @@ class TFDataCsvLoader:
         self.process_count = process_count
 
     def _proc(self) -> tuple:
-        if self.process_count is not None:
-            return self.process_index or 0, self.process_count
-        try:
-            import jax
+        from flyp_tpu.parallel.multihost import resolve_process
 
-            return jax.process_index(), jax.process_count()
-        except Exception:  # pragma: no cover
-            return 0, 1
+        return resolve_process(self.process_index, self.process_count)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        rank, count = self._proc()
-        n = len(self.paths)
-        n = (n - rank + count - 1) // count
+        _, count = self._proc()
+        # Equal floor share per process — see DataLoader.__len__ (collective
+        # steps need identical per-host batch counts).
+        n = len(self.paths) // count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _build(self):
@@ -127,9 +123,12 @@ class TFDataCsvLoader:
             ds = ds.shuffle(self.shuffle_buffer, seed=seed, reshuffle_each_iteration=False)
         rank, count = self._proc()
         if count > 1:
-            # Same seed on every host -> identical global order; the strided
-            # shard then gives disjoint, exhaustive coverage, and sharding
-            # BEFORE map avoids decoding other hosts' rows.
+            # Same seed on every host -> identical global order; truncate to
+            # an equal floor share (tf.data's shard() gives ceil shares to
+            # low ranks, which desynchronizes collective steps), then the
+            # strided shard gives disjoint coverage.  Sharding BEFORE map
+            # avoids decoding other hosts' rows.
+            ds = ds.take(count * (len(self.paths) // count))
             ds = ds.shard(count, rank)
         ds = ds.map(load, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(self.batch_size, drop_remainder=self.drop_last)

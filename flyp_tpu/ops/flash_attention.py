@@ -151,6 +151,12 @@ def _fwd(q, k, v, causal, interpret):
     B, L, H, D = q.shape
     if L > MAX_SEQ_LEN:
         raise NotImplementedError(f"sequence {L} exceeds single-block VMEM budget")
+    if k.shape[1] != L:
+        # Cross-attention (e.g. the RN attnpool's 1-row query against 50
+        # keys): the kernel pads k/v to the QUERY's padded length, so
+        # unequal lengths would request a negative pad.  Signal unsupported
+        # so multi_head_attention falls through to the XLA path.
+        raise NotImplementedError("flash_attention requires equal q/k lengths (self-attention)")
     scale = D ** -0.5
     Lp = _pad_len(L, q.dtype)
     qf, kf, vf = (_to_flat(t, Lp) for t in (q, k, v))

@@ -25,6 +25,19 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def resolve_process(index: int | None = None, count: int | None = None) -> tuple[int, int]:
+    """(rank, count) for input sharding: an explicit override (tests simulate
+    ``count > 1`` on one host) wins, else the JAX runtime's process grid.
+    Shared by the CSV-family loaders so their sharding resolution cannot
+    drift apart."""
+    if count is not None:
+        return index or 0, count
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:  # pragma: no cover - jax runtime always initialized here
+        return 0, 1
+
+
 def process_index() -> int:
     return jax.process_index()
 

@@ -46,3 +46,21 @@ def test_padding_is_masked():
     q, k, v = make_qkv(B=1, L=100, H=1)
     out = flash_attention(q, k, v, False, True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cross_attention_falls_through_to_xla():
+    """The RN attnpool's query-row-0 form (1-row q against HW+1 keys,
+    models/resnet.py AttentionPool2d) must not crash the forced-pallas
+    path: the kernel is self-attention only and signals NotImplementedError
+    so multi_head_attention falls back to XLA."""
+    from flyp_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 1, 4, 16)) * 0.3, np.float32)
+    k = jnp.asarray(rng.standard_normal((2, 50, 4, 16)) * 0.3, np.float32)
+    v = jnp.asarray(rng.standard_normal((2, 50, 4, 16)) * 0.3, np.float32)
+    with pytest.raises(NotImplementedError):
+        flash_attention(q, k, v, False, True)
+    out = multi_head_attention(q, k, v, causal=False, impl="pallas")
+    ref = xla_attention(q, k, v, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

@@ -22,12 +22,10 @@ from flyp_tpu.data.transforms import eval_transform
 N_ROWS = 24
 
 
-@pytest.fixture(scope="module")
-def corpus(tmp_path_factory):
-    root = tmp_path_factory.mktemp("mh_corpus")
+def _make_corpus(root, n_rows):
     rng = np.random.default_rng(0)
     rows = ["title\tfilepath\tlabel\tguidance\timg_id"]
-    for i in range(N_ROWS):
+    for i in range(n_rows):
         arr = rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
         path = os.path.join(root, f"img_{i}.png")
         Image.fromarray(arr).save(path)
@@ -36,6 +34,18 @@ def corpus(tmp_path_factory):
     with open(csv_path, "w") as f:
         f.write("\n".join(rows) + "\n")
     return str(csv_path)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return _make_corpus(tmp_path_factory.mktemp("mh_corpus"), N_ROWS)
+
+
+@pytest.fixture(scope="module")
+def corpus15(tmp_path_factory):
+    # 15 rows does NOT divide by 2 processes x batch 4: the regression bait
+    # for ceil-share splits.
+    return _make_corpus(tmp_path_factory.mktemp("mh_corpus15"), 15)
 
 
 def _dataset(corpus):
@@ -68,6 +78,44 @@ def test_threaded_loader_shards_by_process(corpus, count):
     # drop_last trims at most (batch-1) rows per process.
     assert len(covered) >= N_ROWS - count * 1
     assert covered <= set(range(N_ROWS))
+
+
+def test_equal_batch_counts_on_uneven_shares(corpus15):
+    """15 rows / 2 processes / batch 4: a ceil-share split hands rank 0 eight
+    rows (2 batches) and rank 1 seven (1 batch) — rank 0 would then enter a
+    collective train step rank 1 never joins, hanging the slice, and the two
+    hosts would build different LR-schedule horizons from ``len(loader)``.
+    Every process must get the same floor share (7 rows -> 1 batch each)."""
+    per_rank = []
+    for rank in range(2):
+        loader = DataLoader(
+            _dataset(corpus15), batch_size=4, shuffle=True, drop_last=True,
+            num_workers=2, seed=3, process_index=rank, process_count=2,
+        )
+        ids = [int(x) for b in loader for x in b["img_id"]]
+        assert len(loader) == len(ids) // 4
+        per_rank.append(ids)
+    assert len(per_rank[0]) == len(per_rank[1]) == 4
+    assert not (set(per_rank[0]) & set(per_rank[1]))
+
+
+def test_tfdata_equal_batch_counts_on_uneven_shares(corpus15):
+    pytest.importorskip("tensorflow")
+    import pandas as pd
+
+    from flyp_tpu.data.tfdata import TFDataCsvLoader
+
+    df = pd.read_csv(corpus15, sep="\t")
+    n_batches = []
+    for rank in range(2):
+        loader = TFDataCsvLoader(
+            df, image_size=32, batch_size=4, train=True, seed=3,
+            process_index=rank, process_count=2,
+        )
+        n_iter = sum(1 for _ in loader)
+        assert len(loader) == n_iter
+        n_batches.append(n_iter)
+    assert n_batches[0] == n_batches[1] == 1
 
 
 def test_threaded_loader_shard_determinism(corpus):

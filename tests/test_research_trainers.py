@@ -194,3 +194,32 @@ def test_few_shot_scan_bounded_on_single_class(corpus, tmp_path):
     loader = get_csv_loader(cfg, is_train=True, image_size=32)
     with pytest.raises(RuntimeError, match="balanced few-shot batch"):
         _collect_balanced_contrastive_batch(loader, k=4)
+
+
+def test_wise_interpolation():
+    """WiSE-FT merges (`src/args.py` --alpha/--fisher lineage flags; Wortsman
+    et al. 2022): uniform interpolation is exact per-leaf lerp, and the
+    Fisher-weighted merge reduces to it when both Fishers are equal and
+    respects the floor when one side's Fisher vanishes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flyp_tpu.training.wise import fisher_interpolate, interpolate
+
+    z = {"w": jnp.asarray([[1.0, 2.0]]), "b": jnp.asarray([0.0])}
+    f = {"w": jnp.asarray([[3.0, 6.0]]), "b": jnp.asarray([4.0])}
+    mid = interpolate(z, f, alpha=0.5)
+    np.testing.assert_allclose(np.asarray(mid["w"]), [[2.0, 4.0]])
+    np.testing.assert_allclose(np.asarray(mid["b"]), [2.0])
+    # alpha=1 returns the fine-tuned tree exactly.
+    np.testing.assert_allclose(np.asarray(interpolate(z, f, 1.0)["w"]), [[3.0, 6.0]])
+
+    ones = jax.tree_util.tree_map(jnp.ones_like, z)
+    fw = fisher_interpolate(z, f, ones, ones, alpha=0.5)
+    np.testing.assert_allclose(np.asarray(fw["w"]), np.asarray(mid["w"]), rtol=1e-6)
+    # Zero Fisher on the zero-shot side: the floor keeps the merge finite
+    # and the fine-tuned weights dominate at any alpha.
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, z)
+    dom = fisher_interpolate(z, f, zeros, ones, alpha=0.5)
+    assert np.all(np.isfinite(np.asarray(dom["w"])))
+    np.testing.assert_allclose(np.asarray(dom["w"]), np.asarray(f["w"]), rtol=1e-4)
