@@ -79,6 +79,10 @@ def get_csv_loader(
         drop_last=is_train,
         num_workers=cfg.workers,
         seed=cfg.seed,
+        # Train: disjoint per-host shards feed global_batch_from_local.
+        # Eval: replicated — every host scores the full set (no cross-host
+        # metric reduction exists downstream).
+        shard_by_process=is_train,
     )
     if is_train:
         return loader

@@ -144,6 +144,10 @@ class VisionDataset:
             drop_last=False,
             num_workers=self.num_workers,
             seed=self.seed,
+            # Replicated eval: every host iterates the FULL test set (the
+            # evaluator has no cross-host metric reduction, so a sharded
+            # test loader would silently score 1/count of the data).
+            shard_by_process=False,
         )
 
     def get_test_dataset(self):

@@ -149,4 +149,6 @@ def get_grain_csv_loader(
         drop_last=is_train,
         num_workers=cfg.workers,
         seed=cfg.seed,
+        # Eval is replicated across hosts (see DataLoader.shard_by_process).
+        shard_by_process=is_train,
     )

@@ -53,6 +53,7 @@ class DataLoader:
         prefetch_batches: int = 4,
         process_index: int | None = None,
         process_count: int | None = None,
+        shard_by_process: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -65,14 +66,17 @@ class DataLoader:
         # Multi-host sharding (`wds.split_by_node` semantics, laion.py:464):
         # every process computes the SAME seeded global order, then strides
         # over it, so coverage is disjoint and exhaustive per epoch.
-        # Defaults come from the JAX runtime at iteration time.
+        # Defaults come from the JAX runtime at iteration time; EVAL loaders
+        # pass shard_by_process=False so every host scores the full test set
+        # (there is no cross-host metric reduction in the evaluator).
         self.process_index = process_index
         self.process_count = process_count
+        self.shard_by_process = shard_by_process
 
     def _proc(self) -> tuple[int, int]:
         from flyp_tpu.parallel.multihost import resolve_process
 
-        return resolve_process(self.process_index, self.process_count)
+        return resolve_process(self.process_index, self.process_count, self.shard_by_process)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

@@ -50,6 +50,7 @@ class TFDataCsvLoader:
         shuffle_buffer: int = 50_000,
         process_index: int | None = None,
         process_count: int | None = None,
+        shard_by_process: bool = True,
     ):
         self.paths = dataframe["filepath"].astype(str).tolist()
         self.tokens = tokenize([str(t) for t in dataframe["title"]])
@@ -65,11 +66,13 @@ class TFDataCsvLoader:
         # the epoch (`wds.split_by_node` semantics, laion.py:464).
         self.process_index = process_index
         self.process_count = process_count
+        # Eval pipelines pass False: every host scores the full test set.
+        self.shard_by_process = shard_by_process
 
     def _proc(self) -> tuple:
         from flyp_tpu.parallel.multihost import resolve_process
 
-        return resolve_process(self.process_index, self.process_count)
+        return resolve_process(self.process_index, self.process_count, self.shard_by_process)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -159,5 +162,6 @@ def get_tfdata_csv_loader(cfg, is_train: bool, image_size: int = 224, guidance=N
         num_ori = min(len(df_ori), int(len(df) / (1.0 - ori_proportion) * ori_proportion))
         df = pd.concat([df, df_ori.sample(n=num_ori, random_state=cfg.seed, ignore_index=True)])
     return TFDataCsvLoader(
-        df, image_size=image_size, batch_size=cfg.batch_size, train=is_train, seed=cfg.seed
+        df, image_size=image_size, batch_size=cfg.batch_size, train=is_train, seed=cfg.seed,
+        shard_by_process=is_train,
     )

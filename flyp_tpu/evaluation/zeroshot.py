@@ -45,14 +45,18 @@ def _tokenize_cached(prompts: Sequence[str]) -> np.ndarray:
     per-epoch head rebuild (`zeroshot.py:56-62`); the prompts are constant
     across epochs, so caching the token matrix saves ~2.6 s/epoch of
     single-core BPE at ImageNet scale (1000 x 80, tools/mfu_levers
-    zeroshot).  Keyed by the prompt tuple itself — collisions impossible,
-    and the bound keeps multi-dataset eval loops from growing it."""
+    zeroshot).  Keyed by the prompt tuple itself — collisions impossible.
+    LRU with single-entry eviction: evicting one keeps the bound without
+    thrashing an eval loop over more datasets than the cache holds (a
+    clear-all here would reset the hot set every epoch)."""
     key = tuple(prompts)
     hit = _token_cache.get(key)
     if hit is None:
-        if len(_token_cache) >= 8:
-            _token_cache.clear()
+        while len(_token_cache) >= 16:
+            _token_cache.pop(next(iter(_token_cache)))
         hit = _token_cache[key] = np.asarray(tokenize(list(prompts)))
+    else:
+        _token_cache[key] = _token_cache.pop(key)  # move-to-end: true LRU
     return hit
 
 

@@ -87,11 +87,27 @@ def download_url(url: str, cache_dir: Optional[str] = None, expected_sha256: Opt
     os.makedirs(cache_dir, exist_ok=True)
     expected = expected_sha256 or _expected_digest(url)
     target = os.path.join(cache_dir, os.path.basename(url))
+    # Prefix pins (open_clip's 8-hex torch.hub convention) are upgraded to a
+    # full digest recorded in a sidecar on first successful verification, so
+    # cached files are always re-checked against all 256 bits.
+    sidecar = target + ".sha256"
+
+    def _record(digest: str) -> None:
+        if len(expected) < 64:
+            with open(sidecar, "w") as f:
+                f.write(digest)
 
     if os.path.exists(target) and not os.path.isfile(target):
         raise RuntimeError(f"{target} exists and is not a regular file")
     if os.path.isfile(target):
-        if _sha256(target).startswith(expected):
+        full_expected = expected
+        if len(expected) < 64 and os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                full_expected = f.read().strip()
+        digest = _sha256(target)
+        if digest == full_expected or (len(full_expected) < 64 and digest.startswith(full_expected)):
+            if not os.path.isfile(sidecar):
+                _record(digest)
             return target
         logger.warning("%s exists but its sha256 does not match; re-downloading", target)
 
@@ -113,6 +129,7 @@ def download_url(url: str, cache_dir: Optional[str] = None, expected_sha256: Opt
             if not actual.startswith(expected):
                 raise RuntimeError(f"downloaded {url} but sha256 {actual} != expected {expected}")
             os.replace(tmp, target)
+            _record(actual)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -25,13 +25,23 @@ def process_count() -> int:
     return jax.process_count()
 
 
-def resolve_process(index: int | None = None, count: int | None = None) -> tuple[int, int]:
+def resolve_process(
+    index: int | None = None, count: int | None = None, shard_by_process: bool = True
+) -> tuple[int, int]:
     """(rank, count) for input sharding: an explicit override (tests simulate
-    ``count > 1`` on one host) wins, else the JAX runtime's process grid.
-    Shared by the CSV-family loaders so their sharding resolution cannot
-    drift apart."""
+    ``count > 1`` on one host) wins, else the JAX runtime's process grid —
+    but only when ``shard_by_process`` asks for sharding at all.  Eval
+    loaders pass ``False`` so every host iterates the FULL test set (the
+    evaluator has no cross-host metric reduction; replicated eval keeps the
+    logged numbers whole-dataset and identical on every host).  Shared by
+    the CSV-family loaders so their sharding resolution cannot drift
+    apart."""
     if count is not None:
         return index or 0, count
+    if index is not None:
+        raise ValueError("process_index requires an explicit process_count")
+    if not shard_by_process:
+        return 0, 1
     try:
         return jax.process_index(), jax.process_count()
     except Exception:  # pragma: no cover - jax runtime always initialized here

@@ -101,3 +101,32 @@ def test_download_model_open_clip_laion400m(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="sha256"):
         download.download_model("ViT-L-14", cache_dir=str(tmp_path / "cache2"))
     assert not (tmp_path / "cache2" / os.path.basename(url2)).exists()
+
+
+def test_prefix_pin_upgrades_to_full_digest_sidecar(tmp_path, monkeypatch):
+    """open_clip's 8-hex prefix pin is upgraded on first fetch: the full
+    sha256 lands in a `.sha256` sidecar and later cache hits verify against
+    all 256 bits (a substituted cache file matching only the 32-bit prefix
+    must be rejected)."""
+    payload = b"laion-b32-weights"
+    url, src = _hub_fixture(tmp_path, payload, "vit_b_32-quickgelu-laion400m_e31")
+    cache = tmp_path / "cache"
+
+    got = download.download_url(url, cache_dir=str(cache))
+    sidecar = got + ".sha256"
+    assert open(sidecar).read().strip() == hashlib.sha256(payload).hexdigest()
+
+    # A cache file whose FULL digest disagrees with the sidecar is replaced,
+    # even though the prefix alone could not tell (simulated by rewriting
+    # the sidecar to another digest: the existing file now mismatches).
+    import pathlib
+
+    pathlib.Path(sidecar).write_text(hashlib.sha256(b"other").hexdigest())
+    got2 = download.download_url(url, cache_dir=str(cache))
+    assert open(got2, "rb").read() == payload
+    assert open(sidecar).read().strip() == hashlib.sha256(payload).hexdigest()
+
+    # Full-digest pins (OpenAI convention) never need a sidecar.
+    url3, sha3, _ = _fixture(tmp_path, b"openai-weights")
+    got3 = download.download_url(url3, cache_dir=str(cache))
+    assert not os.path.exists(got3 + ".sha256")

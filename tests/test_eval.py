@@ -196,3 +196,35 @@ def test_zeroshot_tokenize_cache(monkeypatch):
     assert not np.allclose(np.asarray(h1.weight), np.asarray(h2.weight))
     get_zeroshot_classifier(model, variables, ["cat", "bird"], template)
     assert calls["n"] == 2  # different classnames -> new tokenization
+
+
+def test_zeroshot_token_cache_lru_evicts_one(monkeypatch):
+    """Eviction must pop a single stale entry, not clear the cache: an eval
+    loop over more datasets than the bound would otherwise thrash and
+    re-tokenize everything every epoch."""
+    from flyp_tpu.evaluation import zeroshot as zs
+
+    zs._token_cache.clear()
+    calls = {"n": 0}
+    real_tokenize = zs.tokenize
+
+    def counting(prompts):
+        calls["n"] += 1
+        return real_tokenize(prompts)
+
+    monkeypatch.setattr(zs, "tokenize", counting)
+    # Fill past the bound (16): one insert per distinct prompt set.
+    for i in range(17):
+        zs._tokenize_cached((f"a photo of a thing {i}",))
+    assert calls["n"] == 17
+    assert len(zs._token_cache) == 16
+    # Entry 0 (oldest) was the single eviction; 1..16 are still hot.
+    for i in range(1, 17):
+        zs._tokenize_cached((f"a photo of a thing {i}",))
+    assert calls["n"] == 17
+    # Touching entry 1 moves it to the back: the next eviction takes 2.
+    zs._tokenize_cached(("a photo of a thing 1",))
+    zs._tokenize_cached(("brand new prompts",))
+    assert ("a photo of a thing 1",) in zs._token_cache
+    assert ("a photo of a thing 2",) not in zs._token_cache
+    zs._token_cache.clear()

@@ -191,3 +191,58 @@ def test_grain_loader_shards_by_process(corpus, count):
     covered = set().union(*seen)
     assert len(covered) >= N_ROWS - count * 2  # grain drops per-shard remainders too
     assert covered <= set(range(N_ROWS))
+
+def test_resolve_process_validation():
+    """An index without a count is a layout bug, not a silent fallback; and
+    shard_by_process=False pins (0, 1) regardless of the runtime grid."""
+    from flyp_tpu.parallel.multihost import resolve_process
+
+    assert resolve_process(3, 4) == (3, 4)
+    assert resolve_process(None, None, shard_by_process=False) == (0, 1)
+    with pytest.raises(ValueError, match="process_count"):
+        resolve_process(3, None)
+
+
+def test_eval_loader_is_replicated_across_processes(corpus, monkeypatch):
+    """Eval loaders must iterate the FULL test set on every host: the
+    evaluator has no cross-host metric reduction, so a process-sharded
+    test loader would silently score 1/count of the data and each host
+    would log a different number as the full-dataset metric."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+
+    # Train-style loaders (the default) shard by the runtime grid...
+    train = DataLoader(
+        _dataset(corpus), batch_size=2, shuffle=True, drop_last=True, num_workers=1, seed=0
+    )
+    assert len(train) == (N_ROWS // 4) // 2
+    # ...eval loaders opt out and keep every row on every host.
+    ev = DataLoader(
+        _dataset(corpus), batch_size=2, shuffle=False, drop_last=False,
+        num_workers=1, seed=0, shard_by_process=False,
+    )
+    assert len(ev) == N_ROWS // 2
+    ids = sorted(int(x) for batch in ev for x in batch["img_id"])
+    assert ids == list(range(N_ROWS))
+
+
+def test_eval_construction_sites_disable_process_sharding(corpus):
+    """The csv/tfdata factories request sharding for train and replication
+    for eval (datasets/base.populate_test is covered by the default-off
+    shard_by_process=False argument it passes)."""
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.data.csv_data import get_csv_loader
+
+    cfg = ExperimentConfig(ft_data=corpus, ft_data_test=corpus, batch_size=2, workers=1)
+    assert get_csv_loader(cfg, is_train=True, image_size=32).shard_by_process
+    assert not get_csv_loader(cfg, is_train=False, image_size=32).test_loader.shard_by_process
+
+    try:
+        from flyp_tpu.data.tfdata import get_tfdata_csv_loader
+        import tensorflow  # noqa: F401
+    except ImportError:
+        return
+    assert get_tfdata_csv_loader(cfg, is_train=True, image_size=32).shard_by_process
+    assert not get_tfdata_csv_loader(cfg, is_train=False, image_size=32).shard_by_process
