@@ -68,9 +68,15 @@ def get_csv_loader(
         only_img_id=only_img_id,
         seed=cfg.seed,
     )
+    from flyp_tpu.parallel.multihost import local_batch_size
+
     loader = DataLoader(
         dataset,
-        batch_size=cfg.batch_size,
+        # cfg.batch_size is the GLOBAL batch (reference semantics): sharded
+        # train loaders each yield their process's slice, which
+        # prefetch_to_device assembles via global_batch_from_local.  Eval is
+        # replicated, so it keeps the full batch everywhere.
+        batch_size=local_batch_size(cfg.batch_size) if is_train else cfg.batch_size,
         shuffle=is_train,
         # The torch loader uses drop_last=False even in training
         # (`laion.py:592`); the TPU step needs static shapes, so trailing

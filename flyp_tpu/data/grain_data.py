@@ -142,9 +142,13 @@ def get_grain_csv_loader(
         return_img_id=return_img_id,
         seed=cfg.seed,
     )
+    from flyp_tpu.parallel.multihost import local_batch_size
+
     return GrainLoader(
         dataset,
-        batch_size=cfg.batch_size,
+        # Global batch sliced per process for sharded train loaders (see
+        # csv_data.get_csv_loader); replicated eval keeps the full batch.
+        batch_size=local_batch_size(cfg.batch_size) if is_train else cfg.batch_size,
         shuffle=is_train,
         drop_last=is_train,
         num_workers=cfg.workers,

@@ -144,20 +144,24 @@ class DataLoader:
 def prefetch_to_device(iterator, mesh=None, size: int = 2, image_dtype=None):
     """Move batches to device ahead of consumption.
 
-    With a mesh, the leading axis of each array is sharded over the ``data``
-    axis; non-array entries (paths) pass through host-side.  ``image_dtype``
+    With a mesh, each host's batch is its process-local SLICE of the global
+    batch and is assembled via ``global_batch_from_local`` (the
+    ``jax.make_array_from_process_local_data`` pattern — a plain
+    ``device_put`` with a cross-process sharding would assume every host
+    holds the SAME array and silently mix row-slices of different logical
+    batches); the global leading axis shards over the mesh's batch axes.
+    Non-array entries (paths) pass through host-side.  ``image_dtype``
     (e.g. ``ml_dtypes.bfloat16``) casts float image tensors on the host
     first — halving H2D bytes for bf16 training.
     """
     import jax
 
     if mesh is not None:
-        from flyp_tpu.parallel.mesh import batch_sharding
-
-        sharding = batch_sharding(mesh)
+        from flyp_tpu.parallel.multihost import global_batch_from_local
 
     def to_device(batch):
         out = {}
+        staged = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype.kind not in "USO":
                 if image_dtype is not None and np.issubdtype(v.dtype, np.floating):
@@ -170,9 +174,23 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2, image_dtype=None):
                     from flyp_tpu.tokenizer import shrink_context
 
                     v = shrink_context(v)
-                out[k] = jax.device_put(v, sharding) if mesh is not None else jax.device_put(v)
+                    if jax.process_count() > 1:  # pragma: no cover - real slice only
+                        # Hosts hold different rows, so local buckets can
+                        # disagree; the global batch needs ONE width.  Sync
+                        # to the max bucket and re-pad (zero is the pad id —
+                        # EOT-argmax pooling ignores the tail, bit-exact).
+                        from jax.experimental import multihost_utils
+
+                        width = int(multihost_utils.process_allgather(np.int32(v.shape[1])).max())
+                        if width > v.shape[1]:
+                            v = np.pad(v, ((0, 0), (0, width - v.shape[1])))
+                staged[k] = v
             else:
                 out[k] = v
+        if mesh is not None:
+            out.update(global_batch_from_local(mesh, staged))
+        else:
+            out.update({k: jax.device_put(v) for k, v in staged.items()})
         return out
 
     queue: collections.deque = collections.deque()

@@ -161,7 +161,13 @@ def get_tfdata_csv_loader(cfg, is_train: bool, image_size: int = 224, guidance=N
     if ori_proportion is not None:
         num_ori = min(len(df_ori), int(len(df) / (1.0 - ori_proportion) * ori_proportion))
         df = pd.concat([df, df_ori.sample(n=num_ori, random_state=cfg.seed, ignore_index=True)])
+    from flyp_tpu.parallel.multihost import local_batch_size
+
     return TFDataCsvLoader(
-        df, image_size=image_size, batch_size=cfg.batch_size, train=is_train, seed=cfg.seed,
+        df, image_size=image_size,
+        # Global batch sliced per process for sharded train loaders (see
+        # csv_data.get_csv_loader); replicated eval keeps the full batch.
+        batch_size=local_batch_size(cfg.batch_size) if is_train else cfg.batch_size,
+        train=is_train, seed=cfg.seed,
         shard_by_process=is_train,
     )

@@ -105,7 +105,10 @@ def eval_single_dataset(
             mask = np.ones(labels_cat.shape[0], dtype=bool)
             mask[np.asarray(excluded)] = False
             labels_cat, logits_cat = labels_cat[mask], logits_cat[mask]
-        if hasattr(dataset, "post_loop_metrics"):
+        # --self_data takes precedence over post_loop_metrics: the reference
+        # computes the plain argmax accuracy for self-data runs even on
+        # datasets that define post_loop_metrics (`eval.py:232-240`).
+        if hasattr(dataset, "post_loop_metrics") and not getattr(cfg, "self_data", False):
             results = dict(dataset.post_loop_metrics(labels_cat, logits_cat, all_metadata, cfg))
         else:
             results = {"acc": float((logits_cat.argmax(axis=1) == labels_cat).mean())}

@@ -35,29 +35,22 @@ def _text_encode_fn(model: CLIPModel):
     return jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
 
 
-_token_cache: dict = {}
-
-
-def _tokenize_cached(prompts: Sequence[str]) -> np.ndarray:
-    """BPE-tokenize with a cross-epoch cache.
+@functools.lru_cache(maxsize=16)
+def _tokenize_tuple(prompts: tuple) -> np.ndarray:
+    """BPE-tokenize with a cross-epoch LRU cache.
 
     The reference re-tokenizes all |classes| x |templates| prompts on every
     per-epoch head rebuild (`zeroshot.py:56-62`); the prompts are constant
     across epochs, so caching the token matrix saves ~2.6 s/epoch of
     single-core BPE at ImageNet scale (1000 x 80, tools/mfu_levers
-    zeroshot).  Keyed by the prompt tuple itself — collisions impossible.
-    LRU with single-entry eviction: evicting one keeps the bound without
-    thrashing an eval loop over more datasets than the cache holds (a
-    clear-all here would reset the hot set every epoch)."""
-    key = tuple(prompts)
-    hit = _token_cache.get(key)
-    if hit is None:
-        while len(_token_cache) >= 16:
-            _token_cache.pop(next(iter(_token_cache)))
-        hit = _token_cache[key] = np.asarray(tokenize(list(prompts)))
-    else:
-        _token_cache[key] = _token_cache.pop(key)  # move-to-end: true LRU
-    return hit
+    zeroshot).  Keyed by the prompt tuple itself — collisions impossible;
+    lru_cache evicts one stale entry at a time, so eval loops over more
+    datasets than the bound don't thrash."""
+    return np.asarray(tokenize(list(prompts)))
+
+
+def _tokenize_cached(prompts: Sequence[str]) -> np.ndarray:
+    return _tokenize_tuple(tuple(prompts))
 
 
 def class_embeddings(

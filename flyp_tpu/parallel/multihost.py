@@ -35,13 +35,15 @@ def resolve_process(
     evaluator has no cross-host metric reduction; replicated eval keeps the
     logged numbers whole-dataset and identical on every host).  Shared by
     the CSV-family loaders so their sharding resolution cannot drift
-    apart."""
+    apart.  ``shard_by_process=False`` wins over everything — including an
+    explicit (index, count) override — so an eval loader can never be
+    sharded by a stray override."""
+    if not shard_by_process:
+        return 0, 1
     if count is not None:
         return index or 0, count
     if index is not None:
         raise ValueError("process_index requires an explicit process_count")
-    if not shard_by_process:
-        return 0, 1
     try:
         return jax.process_index(), jax.process_count()
     except Exception:  # pragma: no cover - jax runtime always initialized here
@@ -50,6 +52,36 @@ def resolve_process(
 
 def process_index() -> int:
     return jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on the process that owns artifact writes (checkpoints, stats
+    TSVs, metric sinks).  On multi-host runs every process computes
+    identical epoch stats (eval loaders are replicated) and holds the same
+    (replicated or re-assemblable) train state, so exactly one writer is
+    both sufficient and required: concurrent orbax saves to one directory
+    delete-then-write racily."""
+    try:
+        return jax.process_index() == 0
+    except Exception:  # pragma: no cover
+        return True
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-process share of the global batch.
+
+    ``cfg.batch_size`` keeps the reference's meaning — the GLOBAL batch the
+    loss sees (`/root/reference/src/models/flyp_loss.py:495-500` on one
+    node) — so each host's loader must yield ``global/process_count`` rows
+    for ``global_batch_from_local`` to assemble into exactly that global
+    batch."""
+    count = process_count()
+    if global_batch_size % count:
+        raise ValueError(
+            f"global batch_size {global_batch_size} is not divisible by "
+            f"process_count {count}; every host must contribute an equal slice"
+        )
+    return global_batch_size // count
 
 
 def global_batch_from_local(mesh: Mesh, local_batch: Dict[str, Any]) -> Dict[str, Any]:

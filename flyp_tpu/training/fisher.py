@@ -67,6 +67,11 @@ def compute_fisher(cfg, logger=None, model=None, variables=None, head=None, max_
         preprocess=train_transform(image_size), location=cfg.data_location,
         batch_size=cfg.batch_size, num_workers=cfg.workers,
     )
+    # Whole-dataset statistic with no cross-host reduction: every process
+    # must see the FULL train set (a per-process shard would estimate the
+    # Fisher on 1/count of the data).
+    if getattr(dataset.train_loader, "shard_by_process", False):
+        dataset.train_loader.shard_by_process = False
 
     fisher_step = make_fisher_step(model, head, cfg.ls)
     params = variables["params"]
@@ -85,9 +90,12 @@ def compute_fisher(cfg, logger=None, model=None, variables=None, head=None, max_
             count += int(n)
 
     fisher = jax.tree_util.tree_map(lambda a: np.asarray(a / max(count, 1)), acc)
-    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-    with open(save_path, "wb") as f:
-        pickle.dump(fisher, f)
-    if logger is not None:
-        logger.info(f"Saved Fisher ({count} samples) to {save_path}")
+    from flyp_tpu.parallel.multihost import is_primary
+
+    if is_primary():  # single writer: all hosts compute the identical estimate
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        with open(save_path, "wb") as f:
+            pickle.dump(fisher, f)
+        if logger is not None:
+            logger.info(f"Saved Fisher ({count} samples) to {save_path}")
     return fisher

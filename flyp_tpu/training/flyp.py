@@ -188,7 +188,16 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "flyp", cfg.run_key())
     os.makedirs(log_dir, exist_ok=True)
     logger = logger or get_logger(log_dir)
-    sink = MetricsSink(log_dir, enabled=not cfg.debug, config=vars(cfg), name=cfg.exp_name, group=cfg.wandb_group_name)
+    # Single-writer rule: on multi-host runs every process computes identical
+    # epoch stats (replicated eval) and the same state, so only process 0
+    # writes artifacts — concurrent orbax saves / TSV writes to shared
+    # storage would race (delete-then-write) from N processes.
+    from flyp_tpu.parallel.multihost import is_primary
+
+    primary = is_primary()
+    sink = MetricsSink(
+        log_dir, enabled=not cfg.debug and primary, config=vars(cfg), name=cfg.exp_name, group=cfg.wandb_group_name
+    )
 
     if model is None:
         model, variables = build_clip_model(cfg)
@@ -236,10 +245,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
                 if native_decode.available():
                     transform = native_decode.native_train_transform(image_size)
+            from flyp_tpu.parallel.multihost import local_batch_size
+
             return WebDatasetLoader(
                 cfg.ft_data,
                 transform,
-                cfg.batch_size,
+                local_batch_size(cfg.batch_size),
                 num_samples=cfg.train_num_samples,
                 seed=cfg.seed,
                 num_workers=cfg.workers,
@@ -359,9 +370,16 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 # (`flyp_loss.py:390-395`).
                 drestart_done = True
                 logger.info("Restart scheduler")
+                # Horizon = epochs - curriculum_epoch.  The reference writes
+                # `epochs - start_epoch - curriculum_epoch`
+                # (`flyp_loss.py:393-394`) but its resume is disabled, so
+                # start_epoch is always 0 there; subtracting a real resume
+                # epoch here would shrink the horizon (to <= 0 for late
+                # resumes, oscillating the cosine every step) and make a
+                # resumed trajectory diverge from an uninterrupted one.
                 schedule_r = make_scheduler(
                     "default", cfg.lr, cfg.warmup_length,
-                    cfg.epochs - start_epoch - cfg.curriculum_epoch, num_batches, cfg.min_lr,
+                    max(cfg.epochs - cfg.curriculum_epoch, 1), num_batches, cfg.min_lr,
                 )
                 optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
                 step_fn = make_train_step(model, optimizer, mesh=None if use_tp else mesh, log_grad_norm=cfg.log_grad_norm)
@@ -467,20 +485,22 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
         # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
         if cfg.save is not None and not cfg.ma_progress:
-            os.makedirs(cfg.save, exist_ok=True)
             model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
-            cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
-            save_checkpoint(model_path, jax.device_get(state), cursor)
-            logger.info("Saving model to " + str(model_path))
+            if primary:
+                os.makedirs(cfg.save, exist_ok=True)
+                cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
+                save_checkpoint(model_path, jax.device_get(state), cursor)
+                logger.info("Saving model to " + str(model_path))
 
         # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------
         if cfg.progress_train:
             logger.info("Progress evaluation on training data ...")
             dict_best_guid = progress_eval_train(cfg, model, host_variables, epoch, logger, progress_ma)
             dict_best_guid["Epoch"] = epoch
-            with open(os.path.join(log_dir, f"best_guid{epoch}.pkl"), "wb") as f:
-                pickle.dump(dict_best_guid, f)
-            if cfg.cluster == "loss":
+            if primary:
+                with open(os.path.join(log_dir, f"best_guid{epoch}.pkl"), "wb") as f:
+                    pickle.dump(dict_best_guid, f)
+            if cfg.cluster == "loss" and primary:
                 from sklearn.cluster import KMeans
 
                 arr = np.array([p[-1] for p in loss_pairs]).reshape(-1, 1)
@@ -497,11 +517,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 cfg, model, host_variables, last_perform, epoch, logger, progress_ma
             )
             str_progress["Epoch"] = epoch
-            pd.DataFrame.from_dict(str_progress, orient="index").to_csv(
-                os.path.join(log_dir, f"progress{epoch}.tsv"), sep="\t"
-            )
-            with open(os.path.join(log_dir, f"progress{epoch}.pkl"), "wb") as f:
-                pickle.dump([last_perform, progress_ma], f)
+            if primary:
+                pd.DataFrame.from_dict(str_progress, orient="index").to_csv(
+                    os.path.join(log_dir, f"progress{epoch}.tsv"), sep="\t"
+                )
+                with open(os.path.join(log_dir, f"progress{epoch}.pkl"), "wb") as f:
+                    pickle.dump([last_perform, progress_ma], f)
 
         # -- formal eval (`flyp_loss.py:600-668`) -----------------------------
         if cfg.eval_datasets:
@@ -515,7 +536,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             logger.info("No eval datasets; skipping zero-shot evaluation")
 
         ood_acc = _avg_ood_acc(epoch_stats)
-        if cfg.eval_datasets:
+        if cfg.eval_datasets and primary:
             _write_class_stats(epoch_stats, cfg.eval_datasets, log_dir, epoch)
 
         epoch_stats["Avg OOD Acc"] = round(ood_acc, 4)
@@ -524,7 +545,8 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         epoch_stats["Avg ID FLYP Loss"] = round(id_flyp_loss_avg, 4)
         epoch_stats = {k: v for k, v in epoch_stats.items() if " Class" not in k}
         stats.append(epoch_stats)
-        pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
+        if primary:
+            pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
         sink.log(epoch_stats)
 
     sink.close()

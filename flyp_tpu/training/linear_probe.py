@@ -71,6 +71,10 @@ def linear_probe(cfg, logger, model=None, variables=None, num_cs: int = 100) -> 
         preprocess=train_transform(image_size), location=cfg.data_location,
         batch_size=cfg.batch_size, num_workers=cfg.workers,
     )
+    # The probe fits on the FULL train features (no cross-host reduction);
+    # disable per-process sharding of the feature-extraction loader.
+    if getattr(getattr(train_ds, "train_loader", None), "shard_by_process", False):
+        train_ds.train_loader.shard_by_process = False
     cache = cfg.cache_dir
     train = get_features(clf, train_ds, split="train", cache_dir=cache)
     train_features, train_labels = train["features"], train["labels"]
@@ -86,7 +90,9 @@ def linear_probe(cfg, logger, model=None, variables=None, num_cs: int = 100) -> 
     best = log_reg_warm_start_sweep(train_features, train_labels, test_features, test_labels, num_cs=num_cs)
     logger.info(f"Best i {best['i']} best c : {best['c']} best acc : {best['acc']}")
 
-    if cache:
+    from flyp_tpu.parallel.multihost import is_primary
+
+    if cache and is_primary():  # single writer: identical fit on every host
         os.makedirs(cache, exist_ok=True)
         np.savez(os.path.join(cache, f"best_probe_{cfg.run}.npz"), coef=best["coef"], intercept=best["intercept"])
         with open(os.path.join(cache, f"best_probe_{cfg.run}.json"), "w") as f:

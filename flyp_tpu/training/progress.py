@@ -13,8 +13,9 @@ checkpoints.
 from __future__ import annotations
 
 import copy
+import json
 import os
-import pickle
+import shutil
 
 import jax
 import jax.numpy as jnp
@@ -32,15 +33,26 @@ from flyp_tpu.training.train_step import make_train_step
 
 
 def _save_snapshot(path, state, last_perform, step):
+    """Orbax snapshot directory + JSON sidecar (no pickle for model state —
+    repo convention; the sidecar holds only the small progress baseline,
+    a {stat name: float} dict, and the step counter)."""
+    from flyp_tpu.utils.checkpoint import _checkpointer
+
     payload = {
         "params": jax.tree_util.tree_map(np.asarray, jax.device_get(state.params)),
         "opt_state": jax.tree_util.tree_map(np.asarray, jax.device_get(state.opt_state)),
-        "last_perform": last_perform,
-        "step": step,
     }
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+    _checkpointer().save(os.path.abspath(path), payload, force=True)
+    with open(path + ".perform.json", "w") as f:
+        json.dump({"last_perform": last_perform, "step": int(step)}, f)
     return path
+
+
+def _remove_snapshot(path):
+    shutil.rmtree(path, ignore_errors=True)
+    sidecar = path + ".perform.json"
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
 
 
 def flyp_progress_validation(
@@ -72,8 +84,18 @@ def flyp_progress_validation(
     step_fn = make_train_step(model, optimizer, donate=False)
 
     def restore(path):
-        with open(path, "rb") as f:
-            snap = pickle.load(f)
+        from flyp_tpu.utils.checkpoint import _checkpointer
+
+        with open(path + ".perform.json") as f:
+            meta = json.load(f)
+        template = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
+        snap = _checkpointer().restore(
+            os.path.abspath(path),
+            item={
+                "params": jax.tree_util.tree_map(np.asarray, jax.device_get(template.params)),
+                "opt_state": jax.tree_util.tree_map(np.asarray, jax.device_get(template.opt_state)),
+            },
+        )
         restored = create_train_state(snap["params"], optimizer, variables.get("batch_stats"))
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(restored.opt_state),
@@ -81,7 +103,7 @@ def flyp_progress_validation(
         )
         import dataclasses as _dc
 
-        return _dc.replace(restored, opt_state=opt_state), snap["last_perform"], snap["step"]
+        return _dc.replace(restored, opt_state=opt_state), meta["last_perform"], meta["step"]
 
     def train_on_guidance(state, guid, step):
         from flyp_tpu.tokenizer import shrink_context
@@ -98,7 +120,7 @@ def flyp_progress_validation(
         return state, step, loss_sum / max(batches, 1)
 
     # 0. snapshot the starting point.
-    init_path = os.path.join(cfg.save, "cur_point-1_guidpath-1.pkl")
+    init_path = os.path.join(cfg.save, "cur_point-1_guidpath-1")
     _save_snapshot(init_path, state, {}, 0)
     logger.info("Saving model to " + init_path)
 
@@ -109,7 +131,7 @@ def flyp_progress_validation(
         epoch += 1
         candidates = []
         for last_path in beam:
-            last_name = os.path.basename(last_path).replace(".pkl", "")
+            last_name = os.path.basename(last_path)
             last_guid_path_str = last_name.split("guidpath")[1]
 
             state, last_perform, step = restore(last_path)
@@ -165,11 +187,11 @@ def flyp_progress_validation(
                 )
 
         for old in beam:
-            os.remove(old)
+            _remove_snapshot(old)
         candidates = sorted(candidates, key=lambda c: c["score"], reverse=True)[:beam_size]
         beam = []
         for cand in candidates:
-            path = os.path.join(cfg.save, f"cur_point{epoch}_guidpath{cand['guid_path']}.pkl")
+            path = os.path.join(cfg.save, f"cur_point{epoch}_guidpath{cand['guid_path']}")
             _save_snapshot(path, cand["state"], cand["last_perform"], cand["step"])
             logger.info("Saving model to " + path)
             beam.append(path)

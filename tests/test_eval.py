@@ -126,6 +126,16 @@ def test_post_loop_metrics_hook(folder_corpus):
     process_train_stat(results, stats, None, "Toy")
     assert "ToyF1-macro_all" in stats
 
+    # --self_data takes precedence over post_loop_metrics: the reference
+    # computes the plain argmax accuracy for self-data runs even on datasets
+    # that define the hook (`eval.py:232-240`).
+    class _SelfCfg:
+        self_data = True
+
+    self_results = eval_single_dataset(clf, ds, _SelfCfg())
+    assert "F1-macro_all" not in self_results
+    assert "acc" in self_results and self_results["top1"] == self_results["acc"]
+
 
 def test_feature_cache_hit_skips_encoder(tmp_path):
     """get_features serves a warm cache without touching the encoder
@@ -179,7 +189,7 @@ def test_zeroshot_tokenize_cache(monkeypatch):
 
     model, variables = tiny_model()
     template = get_template("simple_template")
-    zs._token_cache.clear()
+    zs._tokenize_tuple.cache_clear()
     calls = {"n": 0}
     real_tokenize = zs.tokenize
 
@@ -204,7 +214,7 @@ def test_zeroshot_token_cache_lru_evicts_one(monkeypatch):
     re-tokenize everything every epoch."""
     from flyp_tpu.evaluation import zeroshot as zs
 
-    zs._token_cache.clear()
+    zs._tokenize_tuple.cache_clear()
     calls = {"n": 0}
     real_tokenize = zs.tokenize
 
@@ -213,18 +223,21 @@ def test_zeroshot_token_cache_lru_evicts_one(monkeypatch):
         return real_tokenize(prompts)
 
     monkeypatch.setattr(zs, "tokenize", counting)
-    # Fill past the bound (16): one insert per distinct prompt set.
+    # Fill past the bound (16): one tokenize per distinct prompt set; the
+    # 17th insert evicts exactly one entry (the oldest, 0).
     for i in range(17):
         zs._tokenize_cached((f"a photo of a thing {i}",))
     assert calls["n"] == 17
-    assert len(zs._token_cache) == 16
-    # Entry 0 (oldest) was the single eviction; 1..16 are still hot.
+    # 1..16 are all still hot — a clear-on-full cache would miss on every one.
     for i in range(1, 17):
         zs._tokenize_cached((f"a photo of a thing {i}",))
     assert calls["n"] == 17
-    # Touching entry 1 moves it to the back: the next eviction takes 2.
+    # Touching 1 refreshes it; the next insert evicts the LRU entry (2).
     zs._tokenize_cached(("a photo of a thing 1",))
     zs._tokenize_cached(("brand new prompts",))
-    assert ("a photo of a thing 1",) in zs._token_cache
-    assert ("a photo of a thing 2",) not in zs._token_cache
-    zs._token_cache.clear()
+    assert calls["n"] == 18
+    zs._tokenize_cached(("a photo of a thing 1",))  # hit
+    assert calls["n"] == 18
+    zs._tokenize_cached(("a photo of a thing 2",))  # evicted -> miss
+    assert calls["n"] == 19
+    zs._tokenize_tuple.cache_clear()

@@ -194,13 +194,43 @@ def test_grain_loader_shards_by_process(corpus, count):
 
 def test_resolve_process_validation():
     """An index without a count is a layout bug, not a silent fallback; and
-    shard_by_process=False pins (0, 1) regardless of the runtime grid."""
+    shard_by_process=False pins (0, 1) over EVERYTHING — the runtime grid
+    and explicit overrides alike (an eval loader must never shard)."""
     from flyp_tpu.parallel.multihost import resolve_process
 
     assert resolve_process(3, 4) == (3, 4)
     assert resolve_process(None, None, shard_by_process=False) == (0, 1)
+    assert resolve_process(3, 4, shard_by_process=False) == (0, 1)
     with pytest.raises(ValueError, match="process_count"):
         resolve_process(3, None)
+
+
+def test_local_batch_size_slices_global_batch(corpus, monkeypatch):
+    """cfg.batch_size keeps the reference's GLOBAL meaning: sharded train
+    loaders yield batch/process_count rows each, so assembly reconstructs
+    exactly the reference's per-step batch (and len(loader) — hence the LR
+    horizon — matches the single-host math)."""
+    import jax
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.data.csv_data import get_csv_loader
+    from flyp_tpu.parallel.multihost import local_batch_size
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    assert local_batch_size(8) == 4
+    with pytest.raises(ValueError, match="divisible"):
+        local_batch_size(7)
+
+    cfg = ExperimentConfig(ft_data=corpus, ft_data_test=corpus, batch_size=8, workers=1)
+    train = get_csv_loader(cfg, is_train=True, image_size=32)
+    assert train.batch_size == 4
+    # Steps per epoch match the global math: N rows / global batch.
+    assert len(train) == N_ROWS // 8
+    # Eval keeps the full (replicated) batch.
+    ev = get_csv_loader(cfg, is_train=False, image_size=32)
+    assert ev.test_loader.batch_size == 8
 
 
 def test_eval_loader_is_replicated_across_processes(corpus, monkeypatch):

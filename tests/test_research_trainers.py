@@ -154,7 +154,10 @@ def test_progress_validation_beam(corpus, tmp_path):
         select_metric="Avg OOD Acc",
     )
     assert len(beam) >= 1
-    assert all(os.path.isfile(p) for p in beam)
+    # Snapshots are orbax directories (+ a JSON progress sidecar) — the repo
+    # convention forbids pickling model state.
+    assert all(os.path.isdir(p) for p in beam)
+    assert all(os.path.isfile(p + ".perform.json") for p in beam)
 
 
 def test_checkpoint_roundtrip(tmp_path):
