@@ -16,7 +16,10 @@ def main(cfg=None, num_runs: int = 50):
 
     run_key = cfg.run_key()
     exp = cfg.exp_name or "few_shot"
-    cfg.save = os.path.join(cfg.save + exp, run_key)
+    # os.path.join like cli/main.py (the reference string-concatenates in
+    # both entry points, `few_shot.py:15-16` — a raw concat would drop
+    # few-shot models OUTSIDE the --save tree main.py scans).
+    cfg.save = os.path.join(cfg.save, exp, run_key)
     os.makedirs(cfg.save, exist_ok=True)
     cfg.log_dir = os.path.join("expt_logs", exp, run_key)
     os.makedirs(cfg.log_dir, exist_ok=True)

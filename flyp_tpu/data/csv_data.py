@@ -31,7 +31,12 @@ def get_csv_loader(
     return_img_id: bool = False,
     only_img_id: bool = False,
     preprocess=None,
+    shard_by_process: bool = True,
 ):
+    """``shard_by_process=False`` requests a REPLICATED loader even for
+    train: consumers that never assemble a global batch (the few-shot
+    balanced-batch scan, the progress-validation beam trainer) must see
+    identical full batches on every host."""
     input_filename = cfg.ft_data if is_train else cfg.ft_data_test
     assert input_filename, "ft_data / ft_data_test must be set"
 
@@ -70,13 +75,15 @@ def get_csv_loader(
     )
     from flyp_tpu.parallel.multihost import local_batch_size
 
+    sharded = is_train and shard_by_process
     loader = DataLoader(
         dataset,
         # cfg.batch_size is the GLOBAL batch (reference semantics): sharded
         # train loaders each yield their process's slice, which
-        # prefetch_to_device assembles via global_batch_from_local.  Eval is
-        # replicated, so it keeps the full batch everywhere.
-        batch_size=local_batch_size(cfg.batch_size) if is_train else cfg.batch_size,
+        # prefetch_to_device assembles via global_batch_from_local.
+        # Replicated loaders (eval, and opt-out train consumers) keep the
+        # full batch everywhere.
+        batch_size=local_batch_size(cfg.batch_size) if sharded else cfg.batch_size,
         shuffle=is_train,
         # The torch loader uses drop_last=False even in training
         # (`laion.py:592`); the TPU step needs static shapes, so trailing
@@ -88,7 +95,7 @@ def get_csv_loader(
         # Train: disjoint per-host shards feed global_batch_from_local.
         # Eval: replicated — every host scores the full set (no cross-host
         # metric reduction exists downstream).
-        shard_by_process=is_train,
+        shard_by_process=sharded,
     )
     if is_train:
         return loader

@@ -80,17 +80,20 @@ class GrainLoader:
     def _shard_options(self):
         import grain
 
+        # shard_by_process=False wins over everything, including explicit
+        # overrides — same precedence as multihost.resolve_process (a
+        # replicated eval loader must never be sharded by a stray override).
+        if not self.shard_by_process:
+            return grain.sharding.NoSharding()
         if self.process_count is not None:
             return grain.sharding.ShardOptions(
                 shard_index=self.process_index or 0,
                 shard_count=self.process_count,
                 drop_remainder=True,
             )
-        if self.shard_by_process:
-            # Multihost: each JAX process reads its own slice (split_by_node
-            # semantics of `laion.py:464`).
-            return grain.sharding.ShardByJaxProcess(drop_remainder=True)
-        return grain.sharding.NoSharding()
+        # Multihost: each JAX process reads its own slice (split_by_node
+        # semantics of `laion.py:464`).
+        return grain.sharding.ShardByJaxProcess(drop_remainder=True)
 
     def __iter__(self):
         import grain
@@ -120,8 +123,10 @@ def get_grain_csv_loader(
     ori_proportion: Optional[float] = None,
     return_guidance: bool = False,
     return_img_id: bool = False,
+    shard_by_process: bool = True,
 ):
-    """Grain-backed equivalent of ``csv_data.get_csv_loader`` (train side)."""
+    """Grain-backed equivalent of ``csv_data.get_csv_loader`` (train side),
+    incl. its ``shard_by_process`` opt-out for replicated train consumers."""
     input_filename = cfg.ft_data if is_train else cfg.ft_data_test
     assert input_filename, "ft_data / ft_data_test must be set"
     label_key = "label" if (not is_train or cfg.get_labeled_csv) else None
@@ -144,15 +149,16 @@ def get_grain_csv_loader(
     )
     from flyp_tpu.parallel.multihost import local_batch_size
 
+    sharded = is_train and shard_by_process
     return GrainLoader(
         dataset,
         # Global batch sliced per process for sharded train loaders (see
-        # csv_data.get_csv_loader); replicated eval keeps the full batch.
-        batch_size=local_batch_size(cfg.batch_size) if is_train else cfg.batch_size,
+        # csv_data.get_csv_loader); replicated loaders keep the full batch.
+        batch_size=local_batch_size(cfg.batch_size) if sharded else cfg.batch_size,
         shuffle=is_train,
         drop_last=is_train,
         num_workers=cfg.workers,
         seed=cfg.seed,
         # Eval is replicated across hosts (see DataLoader.shard_by_process).
-        shard_by_process=is_train,
+        shard_by_process=sharded,
     )

@@ -148,8 +148,11 @@ class TFDataCsvLoader:
             }
 
 
-def get_tfdata_csv_loader(cfg, is_train: bool, image_size: int = 224, guidance=None, ori_proportion=None):
-    """cfg-level constructor matching ``get_csv_loader``'s filtering."""
+def get_tfdata_csv_loader(
+    cfg, is_train: bool, image_size: int = 224, guidance=None, ori_proportion=None, shard_by_process: bool = True
+):
+    """cfg-level constructor matching ``get_csv_loader``'s filtering (incl.
+    its ``shard_by_process`` opt-out for replicated train consumers)."""
     import pandas as pd
 
     df = pd.read_csv(cfg.ft_data if is_train else cfg.ft_data_test, sep=cfg.csv_separator)
@@ -163,11 +166,15 @@ def get_tfdata_csv_loader(cfg, is_train: bool, image_size: int = 224, guidance=N
         df = pd.concat([df, df_ori.sample(n=num_ori, random_state=cfg.seed, ignore_index=True)])
     from flyp_tpu.parallel.multihost import local_batch_size
 
+    sharded = is_train and shard_by_process
     return TFDataCsvLoader(
         df, image_size=image_size,
         # Global batch sliced per process for sharded train loaders (see
-        # csv_data.get_csv_loader); replicated eval keeps the full batch.
-        batch_size=local_batch_size(cfg.batch_size) if is_train else cfg.batch_size,
+        # csv_data.get_csv_loader); replicated loaders keep the full batch.
+        batch_size=local_batch_size(cfg.batch_size) if sharded else cfg.batch_size,
         train=is_train, seed=cfg.seed,
-        shard_by_process=is_train,
+        # Eval keeps the ragged final batch (the reference scores every test
+        # row); train drops it for static step shapes.
+        drop_last=is_train,
+        shard_by_process=sharded,
     )

@@ -224,14 +224,25 @@ class WebDatasetLoader:
 
         def worker(wid: int):
             rng = np.random.default_rng([self.seed, self.epoch, wid])
-            # split_by_worker
-            for shard in shards[wid::n_workers]:
-                for raw in _iter_tar_samples(shard):
-                    if stop.is_set():
-                        return
-                    sample = _decode(raw, self.transform, rng)
-                    if sample is not None:
-                        out_q.put(sample)
+            my_shards = shards[wid::n_workers]  # split_by_worker
+            # Cycle the worker's shards until the main loop hits its quota
+            # (wds `with_epoch` semantics, `laion.py:500-511`): `num_samples`
+            # is a TARGET, and on multi-host runs the strided shard split can
+            # hand hosts unequal sample counts — an epoch that simply
+            # exhausted the local shards would yield fewer batches on some
+            # hosts and hang the other hosts' collective step mid-epoch.
+            while not stop.is_set():
+                produced = False
+                for shard in my_shards:
+                    for raw in _iter_tar_samples(shard):
+                        if stop.is_set():
+                            return
+                        sample = _decode(raw, self.transform, rng)
+                        if sample is not None:
+                            produced = True
+                            out_q.put(sample)
+                if not my_shards or not produced:
+                    break  # nothing decodable: exit instead of spinning
             out_q.put(None)  # worker done marker
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True) for w in range(n_workers)]

@@ -94,20 +94,34 @@ def download_url(url: str, cache_dir: Optional[str] = None, expected_sha256: Opt
 
     def _record(digest: str) -> None:
         if len(expected) < 64:
-            with open(sidecar, "w") as f:
+            # tmp+rename: a crash mid-write must not leave a truncated
+            # sidecar (an empty "expected digest" would match everything).
+            fd, tmp_side = tempfile.mkstemp(dir=cache_dir, suffix=".sha256.part")
+            with os.fdopen(fd, "w") as f:
                 f.write(digest)
+            os.replace(tmp_side, sidecar)
+
+    def _read_sidecar() -> Optional[str]:
+        if not os.path.isfile(sidecar):
+            return None
+        with open(sidecar) as f:
+            recorded = f.read().strip()
+        # A valid sidecar is a full sha256 that still agrees with the
+        # caller's pin; anything else (truncated write, stale pin) is
+        # ignored and refreshed — never trusted as a weaker check.
+        if len(recorded) == 64 and all(c in "0123456789abcdef" for c in recorded) and recorded.startswith(expected):
+            return recorded
+        return None
 
     if os.path.exists(target) and not os.path.isfile(target):
         raise RuntimeError(f"{target} exists and is not a regular file")
     if os.path.isfile(target):
-        full_expected = expected
-        if len(expected) < 64 and os.path.isfile(sidecar):
-            with open(sidecar) as f:
-                full_expected = f.read().strip()
+        recorded = _read_sidecar() if len(expected) < 64 else expected
+        full_expected = recorded if recorded is not None else expected
         digest = _sha256(target)
         if digest == full_expected or (len(full_expected) < 64 and digest.startswith(full_expected)):
-            if not os.path.isfile(sidecar):
-                _record(digest)
+            if recorded is None:
+                _record(digest)  # first verification (or refresh of an invalid sidecar)
             return target
         logger.warning("%s exists but its sha256 does not match; re-downloading", target)
 

@@ -66,31 +66,14 @@ def shard_train_state_fsdp(mesh: Mesh, state) -> Any:
     data axis, counts/hyperparams replicated."""
     import dataclasses
 
-    import optax
+    from flyp_tpu.parallel.mesh import shard_opt_state
 
     params = _place(mesh, state.params)
-
-    def walk_opt(node):
-        if isinstance(node, optax.ScaleByAdamState):
-            return optax.ScaleByAdamState(
-                count=jax.device_put(node.count, NamedSharding(mesh, P())),
-                mu=_place(mesh, node.mu),
-                nu=_place(mesh, node.nu),
-            )
-        if isinstance(node, tuple) and type(node) is not tuple:  # other NamedTuple states
-            return type(node)(*[walk_opt(x) for x in node])
-        if isinstance(node, (tuple, list)):
-            return type(node)(walk_opt(x) for x in node)
-        if isinstance(node, dict):
-            return {k: walk_opt(v) for k, v in node.items()}
-        if hasattr(node, "shape"):
-            return jax.device_put(node, NamedSharding(mesh, P()))
-        return node
-
+    opt_state = shard_opt_state(mesh, state.opt_state, lambda tree: _place(mesh, tree))
     return dataclasses.replace(
         state,
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
         params=params,
-        opt_state=walk_opt(state.opt_state),
+        opt_state=opt_state,
         batch_stats=(_place(mesh, state.batch_stats) if state.batch_stats is not None else None),
     )

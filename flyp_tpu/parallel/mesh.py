@@ -81,12 +81,16 @@ def create_mesh_for_batch(config: Optional[MeshConfig], batch_size: int) -> Mesh
             f"({replica}); the batch cannot shard over a multi-slice mesh"
         )
     data = config.data if config.data != -1 else n // (model * replica)
+    full_data = n // (model * replica)
     while data > 1 and batch_size % (data * replica) != 0:
         data -= 1
-    return create_mesh(
-        MeshConfig(data=data, model=model, replica=replica),
-        devices=jax.devices()[: data * model * replica],
-    )
+    # Capping the data axis must preserve the replica layout: slice the data
+    # axis WITHIN each replica's device block rather than taking a flat
+    # prefix of jax.devices() — a prefix would let one replica span the
+    # slice boundary (the DCN hop) that the replica axis exists to separate.
+    arr = np.array(jax.devices()[: replica * model * full_data]).reshape(replica, model, full_data)
+    devices = arr[:, :, :data].reshape(-1)
+    return create_mesh(MeshConfig(data=data, model=model, replica=replica), devices=devices)
 
 
 def shard_batch(mesh: Mesh, tree):
@@ -103,6 +107,36 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, place_moments):
+    """Walk an optax state tree, placing AdamW moments via ``place_moments``
+    (param-style sharding) and replicating counts/hyperparams; unknown
+    containers (NamedTuple chains, dicts) recurse.  Shared by
+    ``parallel.fsdp`` and ``parallel.tp`` so the optax-structure handling
+    cannot drift between the two."""
+    import optax
+
+    repl = NamedSharding(mesh, P())
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=jax.device_put(node.count, repl),
+                mu=place_moments(node.mu),
+                nu=place_moments(node.nu),
+            )
+        if isinstance(node, tuple) and type(node) is not tuple:  # other NamedTuple states
+            return type(node)(*[walk(x) for x in node])
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(x) for x in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if hasattr(node, "shape"):
+            return jax.device_put(node, repl)
+        return node
+
+    return walk(opt_state)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

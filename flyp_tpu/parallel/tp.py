@@ -79,28 +79,10 @@ def shard_train_state(mesh: Mesh, state) -> Any:
     param tree) get TP specs; counts/hyperparams replicate."""
     import dataclasses
 
-    import optax
+    from flyp_tpu.parallel.mesh import shard_opt_state
 
     params = shard_params(mesh, state.params)
-
-    def walk_opt(node):
-        if isinstance(node, optax.ScaleByAdamState):
-            return optax.ScaleByAdamState(
-                count=jax.device_put(node.count, NamedSharding(mesh, P())),
-                mu=shard_params(mesh, node.mu),
-                nu=shard_params(mesh, node.nu),
-            )
-        if isinstance(node, tuple) and type(node) is not tuple:  # other NamedTuple states
-            return type(node)(*[walk_opt(x) for x in node])
-        if isinstance(node, (tuple, list)):
-            return type(node)(walk_opt(x) for x in node)
-        if isinstance(node, dict):
-            return {k: walk_opt(v) for k, v in node.items()}
-        if hasattr(node, "shape"):
-            return jax.device_put(node, NamedSharding(mesh, P()))
-        return node
-
-    opt_state = walk_opt(state.opt_state)
+    opt_state = shard_opt_state(mesh, state.opt_state, lambda tree: shard_params(mesh, tree))
     return dataclasses.replace(
         state,
         step=jax.device_put(state.step, NamedSharding(mesh, P())),

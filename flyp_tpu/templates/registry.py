@@ -1,4 +1,10 @@
-"""Template registry and prompt helpers."""
+"""Template registry and prompt helpers.
+
+Reproduces the reference's name-keyed template lookup
+(`/root/reference/src/templates/__init__.py:1-14`, resolved via
+``getattr(src.templates, args.template)`` at
+`/root/reference/src/models/zeroshot.py:23`) and the pluralize/article
+helpers (`/root/reference/src/templates/utils.py:2-29`)."""
 
 from __future__ import annotations
 

@@ -69,7 +69,9 @@ def make_ce_train_step(model, optimizer, mesh=None, label_smoothing: float = 0.0
 def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100):
     log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "ce", cfg.run_key())
     os.makedirs(log_dir, exist_ok=True)
-    sink = MetricsSink(log_dir, enabled=not cfg.debug)
+    from flyp_tpu.parallel.multihost import is_primary as _is_primary
+
+    sink = MetricsSink(log_dir, enabled=not cfg.debug and _is_primary())
 
     if model is None:
         model, variables = build_clip_model(cfg)
@@ -89,19 +91,25 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
     C, T, ctx = all_texts.shape
     all_texts = shrink_context(all_texts.reshape(C * T, ctx)).reshape(C, T, -1)
 
+    # cfg.batch_size is the GLOBAL batch: each process's train loader yields
+    # its slice (the loader shards rows by process), assembled below via
+    # global_batch_from_local — the same contract as the FLYP trainer.
+    from flyp_tpu.parallel.multihost import global_batch_from_local, is_primary, local_batch_size
+
+    local_bs = local_batch_size(cfg.batch_size)
     dataset = get_dataset_class(cfg.train_dataset)(
         preprocess=train_transform(image_size), location=cfg.data_location,
-        batch_size=cfg.batch_size, num_workers=cfg.workers,
+        batch_size=local_bs, num_workers=cfg.workers,
     )
     train_loader = dataset.train_loader
     num_batches = len(train_loader)
+    primary = is_primary()
 
     mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
     optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = replicate(mesh, create_train_state(variables["params"], optimizer, variables.get("batch_stats")))
     step_fn = make_ce_train_step(model, optimizer, mesh=mesh, label_smoothing=cfg.ls)
-    batch_shard = batch_sharding(mesh)
 
     rng = np.random.default_rng(cfg.seed)
     stats = []
@@ -120,11 +128,13 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
             current_texts = all_texts[np.arange(all_texts.shape[0]), s]
 
             n = batch["image"].shape[0]
-            if n != cfg.batch_size:
+            if n != local_bs:
                 continue  # static shapes on TPU; ragged tail dropped
-            images = jax.device_put(jnp.asarray(batch["image"]), batch_shard)
-            labels = jax.device_put(jnp.asarray(np.asarray(batch["label"], np.int32)), batch_shard)
-            state, metrics = step_fn(state, images, labels, jnp.asarray(current_texts))
+            assembled = global_batch_from_local(
+                mesh,
+                {"image": np.asarray(batch["image"]), "label": np.asarray(batch["label"], np.int32)},
+            )
+            state, metrics = step_fn(state, assembled["image"], assembled["label"], jnp.asarray(current_texts))
             loss_val = float(metrics["loss"])
             id_ce_loss_sum += loss_val
             sink.log({"Epoch": epoch, "ID CE Loss": loss_val, "Learning Rate": float(metrics["learning_rate"])})
@@ -144,17 +154,19 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
         evaluate(clf, cfg, epoch_stats, logger)
 
         if cfg.save is not None:
-            os.makedirs(cfg.save, exist_ok=True)
             model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
-            save_checkpoint(model_path, jax.device_get(state))
-            logger.info("Saving model to " + str(model_path))
+            if primary:  # single writer (see flyp.py)
+                os.makedirs(cfg.save, exist_ok=True)
+                save_checkpoint(model_path, jax.device_get(state))
+                logger.info("Saving model to " + str(model_path))
 
         ood_acc = _avg_ood_acc(epoch_stats)
         epoch_stats["Avg OOD Acc"] = round(ood_acc, 4)
         logger.info(f"Avg OOD Acc : {ood_acc:.4f}")
         epoch_stats["Avg ID FLYP Loss"] = round(id_ce_loss_avg, 4)
         stats.append({k: v for k, v in epoch_stats.items() if " Class" not in k})
-        pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
+        if primary:
+            pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
 
     sink.close()
     return model_path

@@ -112,14 +112,23 @@ def _find_dataset(cfg, tag: str):
 
 
 def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float]:
+    from flyp_tpu.parallel.multihost import process_count
+
+    if process_count() > 1:
+        # One fixed 2k-sample batch on one device; the 50-restart driver
+        # writes a single stats file (`/root/reference/src/few_shot.py:36-57`).
+        raise NotImplementedError("few-shot is a single-host protocol; run with one JAX process")
     if model is None:
         model, variables = build_clip_model(cfg)
     image_size = model.config.vision.image_size
     k = cfg.k
 
     # Fixed train batch from the contrastive CSV (scanned at batch size k).
+    # Replicated (shard_by_process=False): the scan builds one host-side
+    # balanced batch and never assembles a global array — every host must
+    # see identical full batches (and k need not divide process_count).
     scan_cfg = dataclasses.replace(cfg, batch_size=k) if dataclasses.is_dataclass(cfg) else cfg
-    train_loader = get_csv_loader(scan_cfg, is_train=True, image_size=image_size)
+    train_loader = get_csv_loader(scan_cfg, is_train=True, image_size=image_size, shard_by_process=False)
     ft_image, ft_text = _collect_balanced_contrastive_batch(train_loader, k)
 
     # Fixed val batch from the '*Val' eval dataset.

@@ -176,10 +176,25 @@ def _cont_finetune_classes(cfg, logger):
     return list_classes
 
 
+def _global_host_state(tree):
+    """Fetch a (possibly sharded) device pytree to host numpy on EVERY host.
+
+    Single process: plain ``device_get``.  Multi-host: FSDP/TP shard state
+    over axes that span processes, so ``device_get`` of a
+    non-fully-addressable ``jax.Array`` raises — ``process_allgather``
+    reassembles the global value instead.  This is a COLLECTIVE: all hosts
+    must call it (do not gate it on ``is_primary``)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils  # pragma: no cover - real slice only
+
+    return multihost_utils.process_allgather(tree, tiled=True)  # pragma: no cover
+
+
 def _host_variables(state):
-    out = {"params": jax.device_get(state.params)}
+    out = {"params": _global_host_state(state.params)}
     if state.batch_stats is not None:
-        out["batch_stats"] = jax.device_get(state.batch_stats)
+        out["batch_stats"] = _global_host_state(state.batch_stats)
     return out
 
 
@@ -341,12 +356,19 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         if ckpts:
             epoch_n, path = ckpts[-1]
             logger.info(f"Auto-resuming from {path}")
-            host_state = jax.device_get(state)
+            host_state = _global_host_state(state)
             host_state, cursor = restore_checkpoint(path, host_state)
             if use_tp:
                 from flyp_tpu.parallel.tp import shard_train_state
 
                 state = shard_train_state(mesh, host_state)
+            elif cfg.fsdp:
+                from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
+
+                # Re-shard exactly as the fresh path did: a replicated
+                # restore would silently drop ZeRO sharding (and OOM any
+                # model that only fits sharded).
+                state = shard_train_state_fsdp(mesh, host_state)
             else:
                 state = replicate(mesh, host_state)
             start_epoch = cursor.epoch + 1
@@ -486,10 +508,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
         if cfg.save is not None and not cfg.ma_progress:
             model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
+            # Collective fetch on ALL hosts (sharded state spans processes
+            # under FSDP/TP); only the primary then writes.
+            ckpt_state = _global_host_state(state)
             if primary:
                 os.makedirs(cfg.save, exist_ok=True)
                 cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
-                save_checkpoint(model_path, jax.device_get(state), cursor)
+                save_checkpoint(model_path, ckpt_state, cursor)
                 logger.info("Saving model to " + str(model_path))
 
         # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------

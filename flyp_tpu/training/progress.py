@@ -66,6 +66,13 @@ def flyp_progress_validation(
 ):
     assert cfg.train_dataset is not None, "Please provide a training dataset."
     assert cfg.save is not None, "progress validation needs --save for snapshots"
+    from flyp_tpu.parallel.multihost import process_count
+
+    if process_count() > 1:
+        # The beam trainer feeds step_fn host-local batches with no global
+        # assembly and every host would race on the snapshot paths; the
+        # reference runs this protocol on one node (`flyp_loss_progress.py`).
+        raise NotImplementedError("progress validation is a single-host protocol; run with one JAX process")
     logger.info("Fine-tuning Using FLYP Loss (progress validation)")
 
     log_dir = cfg.log_dir or os.path.join("expt_logs", cfg.exp_name or "progress", cfg.run_key())
@@ -108,7 +115,11 @@ def flyp_progress_validation(
     def train_on_guidance(state, guid, step):
         from flyp_tpu.tokenizer import shrink_context
 
-        loader = get_csv_loader(cfg, is_train=True, image_size=image_size, guidance=guid)
+        # Replicated (shard_by_process=False): batches feed step_fn directly
+        # with no global assembly, so every host must hold the identical full
+        # batch.  The beam search is a single-host protocol (reference
+        # scope); see the process-count guard in flyp_progress_validation.
+        loader = get_csv_loader(cfg, is_train=True, image_size=image_size, guidance=guid, shard_by_process=False)
         loss_sum, batches = 0.0, 0
         for batch in loader:
             # Exact context shrinking (same as the main trainer's loader).

@@ -12,6 +12,8 @@ import os
 import time
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 
 class MetricsSink:
     def __init__(self, log_dir: Optional[str], enabled: bool = True, project: str = "sd_exprs", config=None, name=None, group=None):
@@ -35,7 +37,17 @@ class MetricsSink:
         if not self.enabled:
             return
         if self._file is not None:
-            clean = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+
+            def _clean(v):
+                # Scalars (numpy/jax 0-d or size-1) -> float; larger arrays
+                # -> lists (float() on a size>1 array raises and would kill
+                # the train loop on a logging call).
+                if hasattr(v, "item"):
+                    size = getattr(v, "size", 1)
+                    return float(v) if size == 1 else np.asarray(v).tolist()
+                return v
+
+            clean = {k: _clean(v) for k, v in record.items()}
             self._file.write(json.dumps({"ts": time.time(), **clean}) + "\n")
             self._file.flush()
         if self._wandb is not None:  # pragma: no cover

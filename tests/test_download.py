@@ -114,19 +114,30 @@ def test_prefix_pin_upgrades_to_full_digest_sidecar(tmp_path, monkeypatch):
 
     got = download.download_url(url, cache_dir=str(cache))
     sidecar = got + ".sha256"
-    assert open(sidecar).read().strip() == hashlib.sha256(payload).hexdigest()
+    true_digest = hashlib.sha256(payload).hexdigest()
+    assert open(sidecar).read().strip() == true_digest
 
-    # A cache file whose FULL digest disagrees with the sidecar is replaced,
-    # even though the prefix alone could not tell (simulated by rewriting
-    # the sidecar to another digest: the existing file now mismatches).
     import pathlib
 
-    pathlib.Path(sidecar).write_text(hashlib.sha256(b"other").hexdigest())
-    got2 = download.download_url(url, cache_dir=str(cache))
-    assert open(got2, "rb").read() == payload
-    assert open(sidecar).read().strip() == hashlib.sha256(payload).hexdigest()
+    # An invalid sidecar (truncated write, stale pin, garbage) must never
+    # weaken verification: it is ignored, the prefix pin still applies, and
+    # the sidecar is refreshed to the real digest.
+    for bad in ("", "deadbeef", hashlib.sha256(b"other").hexdigest()):
+        pathlib.Path(sidecar).write_text(bad)
+        got2 = download.download_url(url, cache_dir=str(cache))
+        assert open(got2, "rb").read() == payload
+        assert open(sidecar).read().strip() == true_digest
+
+    # A cached file that fails the full recorded digest is re-downloaded
+    # (content drift the 32-bit prefix alone might miss; here the drifted
+    # bytes also fail the prefix, which is the detectable analog).
+    pathlib.Path(got).write_bytes(b"drifted-bytes")
+    src.write_bytes(payload)  # restore the source for the re-fetch
+    got3 = download.download_url(url, cache_dir=str(cache))
+    assert open(got3, "rb").read() == payload
+    assert open(sidecar).read().strip() == true_digest
 
     # Full-digest pins (OpenAI convention) never need a sidecar.
-    url3, sha3, _ = _fixture(tmp_path, b"openai-weights")
-    got3 = download.download_url(url3, cache_dir=str(cache))
-    assert not os.path.exists(got3 + ".sha256")
+    url4, sha4, _ = _fixture(tmp_path, b"openai-weights")
+    got4 = download.download_url(url4, cache_dir=str(cache))
+    assert not os.path.exists(got4 + ".sha256")

@@ -209,3 +209,34 @@ def test_flyp_train_grain_backend(corpus, tmp_path):
     flyp_train(cfg, model=model, variables=variables, print_every=2)
     stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
     assert len(stats) == 1 and "Avg ID FLYP Loss" in stats.columns
+
+
+def test_fsdp_auto_resume_reshards(corpus, tmp_path, monkeypatch):
+    """Auto-resume under --fsdp must re-shard the restored state exactly as
+    the fresh path does — a replicated restore silently drops ZeRO sharding
+    (and OOMs any model that only fits sharded)."""
+    import flyp_tpu.parallel.fsdp as fsdp_mod
+
+    calls = {"n": 0}
+    real = fsdp_mod.shard_train_state_fsdp
+
+    def counting(mesh, state):
+        calls["n"] += 1
+        return real(mesh, state)
+
+    monkeypatch.setattr(fsdp_mod, "shard_train_state_fsdp", counting)
+
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, save=str(tmp_path / "ckpt"), fsdp=True, epochs=1)
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+    assert calls["n"] == 1  # fresh path shards once
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "checkpoint_0"))
+
+    # Second invocation resumes from checkpoint_0 and must shard AGAIN.
+    model, variables = tiny_model()
+    cfg2 = make_cfg(corpus, tmp_path, save=str(tmp_path / "ckpt"), fsdp=True, epochs=2,
+                    log_dir=str(tmp_path / "logs2"))
+    flyp_train(cfg2, model=model, variables=variables, print_every=2)
+    assert calls["n"] == 3  # fresh shard + resume re-shard
+    stats = pd.read_csv(os.path.join(cfg2.log_dir, "stats.tsv"), sep="\t")
+    assert len(stats) == 1  # resumed at epoch 1 of 2

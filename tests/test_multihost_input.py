@@ -276,3 +276,40 @@ def test_eval_construction_sites_disable_process_sharding(corpus):
         return
     assert get_tfdata_csv_loader(cfg, is_train=True, image_size=32).shard_by_process
     assert not get_tfdata_csv_loader(cfg, is_train=False, image_size=32).shard_by_process
+
+
+def test_research_trainer_loaders_are_replicated(corpus, monkeypatch):
+    """Consumers that never assemble a global batch (few-shot scan,
+    progress-validation beam trainer) opt out of sharding AND batch
+    slicing: every host must see identical full batches, and k need not
+    divide process_count."""
+    import jax
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.data.csv_data import get_csv_loader
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+
+    cfg = ExperimentConfig(ft_data=corpus, ft_data_test=corpus, batch_size=2, workers=1)
+    loader = get_csv_loader(cfg, is_train=True, image_size=32, shard_by_process=False)
+    assert loader.batch_size == 2 and not loader.shard_by_process
+    assert len(loader) == N_ROWS // 2  # full set on every host
+
+
+def test_single_host_protocol_guards(monkeypatch):
+    """Progress validation and few-shot feed step functions host-local
+    batches with no global assembly; on a multi-process runtime they must
+    refuse loudly instead of silently diverging per host."""
+    import jax
+
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.training.few_shot import flyp_few_shot
+    from flyp_tpu.training.progress import flyp_progress_validation
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    cfg = ExperimentConfig(train_dataset="PatchCamelyonVal", save="/tmp/unused", batch_size=2)
+    with pytest.raises(NotImplementedError, match="single-host"):
+        flyp_progress_validation(cfg, logger=None)
+    with pytest.raises(NotImplementedError, match="single-host"):
+        flyp_few_shot(cfg, logger=None)

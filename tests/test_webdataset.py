@@ -154,3 +154,35 @@ def test_flyp_trainer_dispatches_tar_shards(shards, tmp_path):
     # 24 samples / batch 8 = 3 train batches actually consumed.
     log_text = open(os.path.join(exp.log_dir, "log.log")).read()
     assert "Num batches is 3" in log_text
+
+
+def test_node_split_equal_batch_counts_on_skewed_shards(tmp_path):
+    """3 shards / 2 hosts: the strided shard split hands host 0 two shards
+    (12 samples) and host 1 one (6), but num_samples//count//batch demands
+    4 batches from BOTH — a host that merely exhausted its shards would
+    yield 3 and hang the other host's collective step mid-epoch.  Workers
+    must cycle their shards (wds `with_epoch` semantics, `laion.py:500-511`)
+    until the quota is met."""
+    import tarfile as _tarfile
+
+    rng = np.random.default_rng(0)
+    for s in range(3):
+        with _tarfile.open(tmp_path / f"sk-{s:05d}.tar", "w") as tf:
+            for i in range(6):
+                key = f"{s:05d}{i:04d}"
+                img = Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                for ext, data in (("png", buf.getvalue()), ("txt", f"caption {key}".encode())):
+                    info = _tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+
+    url = os.path.join(str(tmp_path), "sk-{00000..00002}.tar")
+    kw = dict(transform=eval_transform(32), batch_size=2, num_workers=1, num_samples=18, process_count=2)
+    for rank in (0, 1):
+        loader = WebDatasetLoader(url, process_index=rank, **kw)
+        assert len(loader) == 4  # (18//2)//2
+        batches = list(loader)
+        assert len(batches) == 4, f"rank {rank} yielded {len(batches)} batches"
+        assert all(b["image"].shape == (2, 32, 32, 3) for b in batches)
