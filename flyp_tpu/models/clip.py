@@ -48,15 +48,12 @@ class CLIPModel(nn.Module):
         )
 
     def encode_image(self, images: jax.Array, normalize: bool = False, train: bool = False) -> jax.Array:
-        # ``train`` only matters for ResNet towers: torch train-mode
-        # BatchNorm uses batch stats and updates running stats (the
-        # reference fine-tunes with model.train(), `flyp_loss.py:412`).
-        if self.config.vision.is_vit:
-            # train=True keeps the kernels' backward residuals (fused
-            # attention saves qkv/o); inference skips those writes.
-            feats = self.visual(images.astype(self.compute_dtype), train=train)
-        else:
-            feats = self.visual(images.astype(self.compute_dtype), train=train)
+        # ``train`` matters twice: ResNet towers run torch train-mode
+        # BatchNorm (batch stats + running-stat updates — the reference
+        # fine-tunes with model.train(), `flyp_loss.py:412`), and ViT
+        # towers keep the fused kernels' backward residuals (qkv/o saves);
+        # inference skips those writes.
+        feats = self.visual(images.astype(self.compute_dtype), train=train)
         return l2_normalize(feats) if normalize else feats
 
     def encode_text(self, tokens: jax.Array, normalize: bool = False, train: bool = False) -> jax.Array:

@@ -42,7 +42,9 @@ def build_clip_model(
         load_path = download_model(cfg.model, cfg.cache_dir)
     if load_path and (load_path.endswith(".pt") or load_path.endswith(".bin")):
         state = convert.load_torch_checkpoint(load_path)
-        params, batch_stats, config = convert.convert_clip_state_dict(state)
+        # An explicit config_override must survive the checkpoint path too
+        # (convert sniffs the config from tensor shapes otherwise).
+        params, batch_stats, config = convert.convert_clip_state_dict(state, config_override)
         model = CLIPModel(config, compute_dtype=compute_dtype, remat=cfg.remat)
         variables = {"params": params}
         if batch_stats is not None:

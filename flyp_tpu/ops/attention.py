@@ -17,7 +17,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_IMPL_ENV = "FLYP_ATTENTION_IMPL"  # "xla" | "pallas" | "pallas_qkv" | "auto"
+# "xla" | "pallas" | "pallas_qkv" | "pallas_block" | "pallas_block_mlp" |
+# "auto" (resolves to "pallas_block" on TPU — the measured default; the
+# *_block values are consumed by models/layers.py, which fuses the whole
+# residual sub-block, so multi_head_attention itself treats them as XLA).
+_IMPL_ENV = "FLYP_ATTENTION_IMPL"
 
 
 @functools.lru_cache()

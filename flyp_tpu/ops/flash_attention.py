@@ -28,20 +28,9 @@ _NEG_INF = -1e30
 # A whole head must fit in VMEM several times over; CLIP's 197 is far below.
 MAX_SEQ_LEN = 1024
 
-
-def _pad_len(L: int, dtype) -> int:
-    tile = 16 if dtype == jnp.bfloat16 else 8
-    return ((L + tile - 1) // tile) * tile
-
-
-def _mask(s: jax.Array, L: int, causal: bool) -> jax.Array:
-    Lp = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
-    keep = col < L
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
-        keep = jnp.logical_and(keep, col <= row)
-    return jnp.where(keep, s, _NEG_INF)
+# One source of truth for the tile/mask helpers: a tile-size or mask fix in
+# fused_qkv_attention must not silently diverge from this variant.
+from flyp_tpu.ops.fused_qkv_attention import _mask, _pad_len  # noqa: E402
 
 
 def _fwd_kernel(L: int, causal: bool, scale: float, q_ref, k_ref, v_ref, o_ref):

@@ -64,6 +64,10 @@ def clip_loss(
       axis_name: mapped axis to gather over (shard_map path).  None = the
         caller provides global (or pjit-sharded-global) arrays.
       local_loss: with ``axis_name``, return only this shard's rows.
+        Applies to the default variant only: the supervised variants need
+        the full pairwise label matrix and return a scalar that must be
+        identical on every shard, so they always use the gathered square
+        logits (``local_loss`` is a perf knob, not a semantics knob).
 
     Returns:
       ``[B_global]`` (or ``[B_local]`` with ``local_loss``) per-item losses
@@ -77,6 +81,10 @@ def clip_loss(
 
     rank = 0
     local_b = img.shape[0]
+    # Supervised variants ignore local_loss (see docstring): rectangular
+    # [B_local, B_global] logits would mis-index the label-equality matrix
+    # and produce shard-dependent scalars.
+    local_loss = local_loss and ground_labels is None
     if axis_name is not None:
         rank = jax.lax.axis_index(axis_name)
         all_img = jax.lax.all_gather(img, axis_name, tiled=True)

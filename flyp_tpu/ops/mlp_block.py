@@ -125,6 +125,12 @@ def _factors(rule):
     return tuple(seen)
 
 
+# Which operands/results carry the batch on dim 0 (x; out, hpre) — the
+# weights/LN params are replicated, like the attention block's tables.
+_BATCH_ARGS = (True, False, False, False, False, False, False)
+_BATCH_RES = (True, True)
+
+
 @functools.lru_cache()
 def _partitioned(interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -135,10 +141,15 @@ def _partitioned(interpret: bool):
 
     def partition(mesh, arg_shapes, result_shape):
         b = _spec_dim0(arg_shapes)
-        return mesh, impl, _force_shardings(mesh, b, result_shape), _force_shardings(mesh, b, arg_shapes)
+        return (
+            mesh,
+            impl,
+            _force_shardings(mesh, b, result_shape, _BATCH_RES),
+            _force_shardings(mesh, b, arg_shapes, _BATCH_ARGS),
+        )
 
     def infer(mesh, arg_shapes, result_shape):
-        return _force_shardings(mesh, _spec_dim0(arg_shapes), result_shape)
+        return _force_shardings(mesh, _spec_dim0(arg_shapes), result_shape, _BATCH_RES)
 
     f = custom_partitioning(impl)
     f.def_partition(

@@ -2,9 +2,10 @@
 
 Functionally equivalent to the OpenAI CLIP tokenizer the reference vendors
 (`/root/reference/clip/tokenizer.py`, `/root/reference/clip/clip.py:187-212`):
-49,152-entry vocabulary (256 byte symbols, 256 end-of-word byte symbols,
-48,638 learned merges, 2 special tokens), SOT/EOT wrapping, zero padding and
-truncation to a 77-token context.  The merge table is a public data asset
+49,408-entry vocabulary (256 byte symbols, 256 end-of-word byte symbols,
+48,894 learned merges, 2 special tokens — see ``VOCAB_SIZE``/``_NUM_MERGES``
+below; 49,152 is only the historical pre-slice merge-file budget), SOT/EOT
+wrapping, zero padding and truncation to a 77-token context.  The merge table is a public data asset
 (``assets/bpe_simple_vocab_16e6.txt.gz``, MIT-licensed by OpenAI).
 
 Output is numpy ``int32`` — host-side tokenization feeds the device pipeline,

@@ -331,3 +331,43 @@ def test_inference_variant_matches_train_variant():
     g_i = jax.grad(lambda *a: jnp.sum(run(attention_block_inference, *a) ** 2), argnums=tuple(range(len(args) + 1)))(x, *args)
     for name, a, b in zip(["x"] + keys, g_i, g_t):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_mlp_block_partitioned_over_mesh():
+    """Batch-sharded inputs compile and run the fused MLP block per shard
+    with grads matching single-device.  Regression: the head-group-TP
+    change added a batch_flags argument to _force_shardings but missed
+    mlp_block's partition/infer callbacks, so every sharded compile of
+    pallas_block_mlp died with a TypeError inside GSPMD."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from flyp_tpu.ops.mlp_block import mlp_block
+
+    B, L, D = 8, 13, 128
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = dict(
+        ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32),
+        ln_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+        fc_kernel=jnp.asarray(rng.standard_normal((D, 4 * D)) * (2 * D) ** -0.5, jnp.float32),
+        fc_bias=jnp.asarray(0.1 * rng.standard_normal(4 * D), jnp.float32),
+        proj_kernel=jnp.asarray(rng.standard_normal((4 * D, D)) * D ** -0.5, jnp.float32),
+        proj_bias=jnp.asarray(0.1 * rng.standard_normal(D), jnp.float32),
+    )
+    keys = sorted(p)
+    args = [p[k] for k in keys]
+
+    def loss(x, *a):
+        pp = dict(zip(keys, a))
+        out = mlp_block(x, pp["ln_scale"], pp["ln_bias"], pp["fc_kernel"], pp["fc_bias"],
+                        pp["proj_kernel"], pp["proj_bias"], True)
+        return jnp.sum(out ** 2)
+
+    grads_1dev = jax.grad(loss, argnums=tuple(range(len(args) + 1)))(x, *args)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("model", "data"))
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    args_s = [jax.device_put(a, NamedSharding(mesh, P(*([None] * a.ndim)))) for a in args]
+    grads_mesh = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))(x_s, *args_s)
+    for name, a, b in zip(["x"] + keys, grads_mesh, grads_1dev):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=name)

@@ -159,3 +159,33 @@ def test_pjit_global_math_matches():
     out = f(img_s, txt_s)
     single = clip_loss(jnp.asarray(img), jnp.asarray(txt), jnp.float32(30.0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(single), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["ignore", "google", "soft"])
+def test_sharded_supervised_variants_match_single_device(variant):
+    """The supervised variants under shard_map (incl. with local_loss=True,
+    which they ignore — they need the full pairwise label matrix) return the
+    single-device scalar, replicated.  Regression: rectangular
+    [B_local, B_global] logits crashed the equal/eye construction."""
+    img, txt, labels = make_features(b=32, d=16)
+    kwargs = dict(
+        ignore=(variant == "ignore"),
+        google_sup_loss=(variant == "google"),
+    )
+    single = clip_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.float32(20.0), jnp.asarray(labels), **kwargs
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    for local_loss in (False, True):
+        shard_fn = jax.shard_map(
+            functools.partial(clip_loss, axis_name="data", local_loss=local_loss, **kwargs),
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P("data")),
+            out_specs=P(),  # scalar, identical on every shard
+            check_vma=False,
+        )
+        sharded = shard_fn(
+            jnp.asarray(img), jnp.asarray(txt), jnp.float32(20.0), jnp.asarray(labels)
+        )
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5, rtol=1e-5)
