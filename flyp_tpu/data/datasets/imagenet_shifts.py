@@ -21,12 +21,17 @@ class _NumericFolderDataset(ImageFolderDataset):
 
     @classmethod
     def from_root(cls, root, transform, **kw):
+        from flyp_tpu.data.datasets.base import IMG_EXTENSIONS
+
         samples = []
         for d in sorted(os.scandir(root), key=lambda e: e.name):
-            if d.is_dir():
+            # Skip non-numeric dirs (extraction leftovers, .ipynb_checkpoints)
+            # and non-image files (checksums, .DS_Store) — the reference
+            # release globs **/*.jpeg only (`imagenetv2_pytorch`).
+            if d.is_dir() and d.name.isdigit():
                 label = int(d.name)
                 for f in sorted(os.scandir(d.path), key=lambda e: e.name):
-                    if f.is_file():
+                    if f.is_file() and f.name.lower().endswith(IMG_EXTENSIONS):
                         samples.append((f.path, label))
         return cls(samples, transform, **kw)
 

@@ -27,7 +27,13 @@ class _VidRobustDataset(ImageFolderDataset):
 
 class ImageNetVidRobustBase(ImageNet):
     def __init__(self, *args, **kwargs):
-        location = kwargs.get("location", os.path.expanduser("~/data"))
+        # location may arrive positionally (VisionDataset's 2nd parameter):
+        # reading only kwargs would load metadata from the ~/data default
+        # while the loaders use the real location.
+        if len(args) >= 2:
+            location = args[1]
+        else:
+            location = kwargs.get("location", os.path.expanduser("~/data"))
         data_loc = pathlib.Path(location) / "imagenet_vid_ytbb_robust/imagenet-vid-robust"
         with open(data_loc / "misc/wnid_map.json") as f:
             self.wnid_map = json.load(f)
@@ -110,6 +116,10 @@ class ImageNetVidRobust(ImageNetVidRobustBase):
         return correct_anchor / n, correct_pmk / n
 
     def post_loop_metrics(self, labels, logits, image_paths, cfg):
-        preds = {"val/" + p.split("val/")[1]: logits[i] for i, p in enumerate(image_paths)}
+        # Key = 'val/<video>/<frame>' from the LAST path components — the
+        # reference's `p.split('val/')[1]` (`imagenet_vid_robust.py`) breaks
+        # when the data location itself contains 'val/'; this matches
+        # _VidRobustDataset.get's keying and is value-identical otherwise.
+        preds = {"/".join(p.split("/")[-3:]): logits[i] for i, p in enumerate(image_paths)}
         pm0, pm10 = self.score_predictions(preds, self.pmsets)
         return {"pm0": pm0, "pm10": pm10, "merge_op": self.merge_op}

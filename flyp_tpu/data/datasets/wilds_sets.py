@@ -47,10 +47,18 @@ class _WildsImageDataset:
         return len(self.paths)
 
     def get(self, idx: int, rng: np.random.Generator) -> dict:
+        path = self.paths[idx]
+        if hasattr(self.transform, "from_path"):
+            # Native C++ decode+transform (GIL-free end to end), same fast
+            # path as ImageFolderDataset.get — iWildCam is FLYP's primary
+            # fine-tuning corpus, so it must not fall back to PIL decode.
+            image = self.transform.from_path(path, rng)
+        else:
+            image = self.transform(Image.open(path), rng)
         sample = {
-            "image": self.transform(Image.open(self.paths[idx]), rng).astype(np.float32),
+            "image": image.astype(np.float32),
             "label": np.int32(self.labels[idx]),
-            "path": self.paths[idx],
+            "path": path,
         }
         if self.metadata is not None:
             sample["metadata"] = self.metadata[idx]
@@ -76,12 +84,19 @@ class IWildCam(VisionDataset):
         return pathlib.Path(self.location) / "iwildcam_v2.0"
 
     def _load_split(self, split: str):
-        meta = pd.read_csv(self._data_dir() / "metadata.csv")
+        # Parse the (large) metadata + MegaDetector JSON once per instance:
+        # populate_train and populate_test both call here.
+        if not hasattr(self, "_meta_cache"):
+            meta = pd.read_csv(self._data_dir() / "metadata.csv")
+            conf = None
+            if self.remove_non_empty:
+                with open(self._data_dir() / "iwildcam2020_megadetector_results.json") as f:
+                    md = json.load(f)
+                conf = {x["id"]: x["max_detection_conf"] for x in md["images"]}
+            self._meta_cache = (meta, conf)
+        meta, conf = self._meta_cache
         mask = meta["split"] == split
         if self.remove_non_empty:
-            with open(self._data_dir() / "iwildcam2020_megadetector_results.json") as f:
-                md = json.load(f)
-            conf = {x["id"]: x["max_detection_conf"] for x in md["images"]}
             mask = mask & meta["image_id"].map(lambda i: conf.get(i, 0.0) >= 0.95)
         sub = meta[mask]
         paths = [str(self._data_dir() / "train" / fn) for fn in sub["filename"]]
@@ -145,14 +160,21 @@ class FMOW(VisionDataset):
 
     def _load_split(self, split: str):
         """WILDS split semantics over rgb_metadata.csv: the OOD axis is the
-        *year*, not the raw split column (WILDS fmow_dataset; the same cutoff
-        logic appears in `datacreation_scripts/fmow_csv_creator.py:44-57`):
-        OOD test >= 2016, OOD val 2013-2016, ID splits keep the original
-        train/val/test assignment within pre-2013 years; 'seq' rows drop."""
-        meta = pd.read_csv(self._data_dir() / "rgb_metadata.csv")
-        meta = meta.reset_index().rename(columns={"index": "img_idx"})
-        meta = meta[meta["split"] != "seq"]
-        years = pd.to_datetime(meta["timestamp"], utc=True, format="mixed").dt.year
+        *year* intersected with the ORIGINAL split column (WILDS
+        fmow_dataset's per-split `idxs[mask & split_mask]` pattern — the
+        reference's data creator borrows the train case verbatim,
+        `datacreation_scripts/fmow_csv_creator.py:44-57`): OOD test =
+        year >= 2016 & split=='test', OOD val = 2013-2015 & split=='val'
+        (NOT a union over val+test — that would inflate both OOD sets and
+        break comparability with published WILDS numbers); ID splits keep
+        the original assignment within pre-2013 years; 'seq' rows drop."""
+        if not hasattr(self, "_meta_cache"):
+            meta = pd.read_csv(self._data_dir() / "rgb_metadata.csv")
+            meta = meta.reset_index().rename(columns={"index": "img_idx"})
+            meta = meta[meta["split"] != "seq"]
+            years = pd.to_datetime(meta["timestamp"], utc=True, format="mixed").dt.year
+            self._meta_cache = (meta, years)  # parsed once: to_datetime(mixed) is slow at 500k rows
+        meta, years = self._meta_cache
         test_ood = years >= 2016
         val_ood = (years >= 2013) & ~test_ood
         ood = test_ood | val_ood
@@ -164,9 +186,9 @@ class FMOW(VisionDataset):
         elif split == "id_test":
             mask = (meta["split"] == "test") & ~ood
         elif split == "val":
-            mask = val_ood & meta["split"].isin(["val", "test"])
+            mask = val_ood & (meta["split"] == "val")
         elif split == "test":
-            mask = test_ood & meta["split"].isin(["val", "test"])
+            mask = test_ood & (meta["split"] == "test")
         else:
             raise ValueError(f"unknown fmow split {split!r}")
 
@@ -192,8 +214,20 @@ class FMOW(VisionDataset):
                 code_to_region = dict(zip(mapping_df[code_col].astype(str), mapping_df[region_col].astype(str)))
                 return sub["country_code"].astype(str).map(lambda c: code_to_region.get(c, "Other")).to_numpy()
         if "country_code" in sub.columns:
-            return sub["country_code"].to_numpy()
-        return np.asarray(["unknown"] * len(sub))
+            # No mapping file: raw country codes would turn the worst-region
+            # min into a per-country min over tiny groups (garbage ~0).  Map
+            # everything to "Other" — excluded from the worst-region metric
+            # — and say so loudly.
+            import logging
+
+            logging.getLogger("flyp_tpu").warning(
+                "fmow: country_code_mapping.csv not found under %s; regions "
+                "fall back to 'Other' and acc_worst_region degrades to the "
+                "overall accuracy",
+                self._data_dir(),
+            )
+            return np.asarray(["Other"] * len(sub))
+        return np.asarray(["Other"] * len(sub))
 
     def populate_train(self):
         paths, labels, regions = self._load_split("train")
@@ -214,8 +248,13 @@ class FMOW(VisionDataset):
             sel = regions == r
             acc = float((preds[sel] == labels[sel]).mean())
             out[f"acc_region:{r}"] = acc
-            region_accs.append(acc)
-        out["acc_worst_region"] = min(region_accs) if region_accs else 0.0
+            # WILDS takes the worst over the five NAMED regions only —
+            # the small heterogeneous 'Other' group is reported but
+            # excluded from the headline min (it would systematically
+            # drag acc_worst_region below the comparable value).
+            if str(r).lower() not in ("other", "unknown"):
+                region_accs.append(acc)
+        out["acc_worst_region"] = min(region_accs) if region_accs else out["acc_avg"]
         return out
 
 

@@ -76,12 +76,14 @@ def fmow_tree(tmp_path_factory):
         # idx, original split, year, category, region
         ("train", "2010-05-01T00:00:00Z", "airport", "Asia"),
         ("train", "2011-05-01T00:00:00Z", "barn", "Europe"),
-        ("train", "2014-05-01T00:00:00Z", "port", "Asia"),      # OOD-year train row: excluded from 'train'
+        ("train", "2014-05-01T00:00:00Z", "port", "Asia"),      # OOD-year train row: belongs to NO split (WILDS)
         ("val", "2012-05-01T00:00:00Z", "airport", "Africa"),   # id_val
         ("val", "2014-05-01T00:00:00Z", "barn", "Asia"),        # OOD val
         ("test", "2012-06-01T00:00:00Z", "port", "Europe"),     # id_test
         ("test", "2017-01-01T00:00:00Z", "airport", "Americas"),# OOD test
         ("seq", "2017-01-01T00:00:00Z", "barn", "Asia"),        # dropped
+        ("train", "2017-03-01T00:00:00Z", "barn", "Asia"),      # OOD-year train row: NOT in OOD test (split!='test')
+        ("test", "2014-06-01T00:00:00Z", "port", "Europe"),     # OOD-year test row: NOT in OOD val (split!='val')
     ]
     meta = pd.DataFrame(
         [{"split": s, "timestamp": t, "category": c, "region": r} for s, t, c, r in rows]
@@ -97,8 +99,14 @@ def fmow_tree(tmp_path_factory):
 def test_fmow_year_based_splits(fmow_tree):
     from flyp_tpu.data.datasets.wilds_sets import FMOW, FMOWID, FMOWIDVal, FMOWOOD
 
+    # WILDS intersects the year cutoff with the ORIGINAL split column: the
+    # 2017 'train' row and the 2014 'test' row belong to NO eval split.
     ood = FMOWOOD(preprocess=eval_transform(32), location=fmow_tree, batch_size=4, num_workers=1)
-    assert len(ood.test_dataset) == 1  # only the 2017 test row
+    assert len(ood.test_dataset) == 1  # only the 2017 test row (not the 2017 train row)
+
+    val_ood = FMOW(preprocess=eval_transform(32), location=fmow_tree, batch_size=4, num_workers=1)
+    val_paths, _, _ = val_ood._load_split("val")
+    assert len(val_paths) == 1  # only the 2014 val row (not the 2014 test row)
 
     id_val = FMOWIDVal(preprocess=eval_transform(32), location=fmow_tree, batch_size=4, num_workers=1)
     assert len(id_val.test_dataset) == 1  # 2012 val row
@@ -122,6 +130,16 @@ def test_fmow_worst_region(fmow_tree):
     assert metrics["acc_region:Asia"] == 0.5
     assert metrics["acc_region:Europe"] == 1.0
     assert metrics["acc_worst_region"] == 0.5
+
+    # 'Other' is reported per-region but excluded from the headline min
+    # (WILDS takes the worst over the named regions only).
+    logits5 = np.zeros((5, 62), dtype=np.float32)
+    logits5[np.arange(5), [0, 0, 6, 6, 0]] = 1.0
+    labels5 = np.array([0, 6, 6, 6, 6])  # the Other row is wrong
+    regions5 = np.array(["Asia", "Asia", "Europe", "Europe", "Other"])
+    m5 = ds.post_loop_metrics(labels5, logits5, regions5, None)
+    assert m5["acc_region:Other"] == 0.0
+    assert m5["acc_worst_region"] == 0.5  # min over Asia/Europe only
 
 
 def test_fmow_country_code_region_mapping(tmp_path):
