@@ -25,6 +25,7 @@ PEAK_TFLOPS = {
     "v5p": 459.0,
     "v4": 275.0,
     "v6 lite": 918.0,  # v6e
+    "v6e": 918.0,
 }
 
 
@@ -33,32 +34,42 @@ def peak_flops_for(device) -> float:
     for key, tflops in PEAK_TFLOPS.items():
         if key in kind:
             return tflops * 1e12
-    return 197.0e12  # conservative default
+    # Unknown generation: the v5e number. MFU on a faster chip would read
+    # HIGH, not low — warn so the published line is never silently wrong.
+    import logging
+
+    logging.getLogger("flyp_tpu").warning(
+        "bench: unknown TPU device_kind %r; MFU uses the v5e peak (197 TF/s)",
+        getattr(device, "device_kind", device),
+    )
+    return 197.0e12
 
 
-def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: str = "ViT-B/16", remat: bool = False):
+def build_bench_step(batch_size: int, model_name: str, remat: bool):
+    """The EXACT train step + synthetic inputs the bench times.
+
+    Shared with ``tools/layout_copies.py`` so the audited HLO can never
+    drift from the benched program.  bf16 Adam moments: -1.8 ms/step
+    measured (tools/mfu_levers; fp32 math, only the stored accumulators
+    round).  The bench reports the recommended TPU training config; the
+    trainer default stays float32 for exact reference parity
+    (--adam_moment_dtype opts in).  FLYP_ADAM_MOMENT_DTYPE=float32 reverts.
+    Caption lengths (6-20 tokens) mirror prompt-templated classnames, and
+    the same exact context shrinking the trainer's loader applies runs
+    before the device transfer."""
+    import os
+
     from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
+    from flyp_tpu.tokenizer import shrink_context
     from flyp_tpu.training.schedules import warmup_cosine_lr
     from flyp_tpu.training.train_state import create_train_state, make_optimizer
     from flyp_tpu.training.train_step import make_train_step
 
-    device = jax.devices()[0]
     on_tpu = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    if not on_tpu:
-        batch_size, steps, warmup = min(batch_size, 8), 2, 1  # functional check only
-
     config = MODEL_CONFIGS[model_name]
     model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
     variables = init_clip_variables(model, 0)
-
-    import os
-
-    # bf16 Adam moments: -1.8 ms/step measured (tools/mfu_levers; fp32
-    # math, only the stored accumulators round).  The bench reports the
-    # recommended TPU training config; the trainer default stays float32
-    # for exact reference parity (--adam_moment_dtype opts in).
-    # FLYP_ADAM_MOMENT_DTYPE=float32 reverts the bench.
     moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
     optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype=moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
@@ -73,13 +84,18 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
     for i, n in enumerate(lengths):
         tokens_np[i, 1:n] = rng.integers(1, 49000, n - 1)
         tokens_np[i, n] = 49407
-    # Same exact context shrinking the trainer's loader applies: caption
-    # lengths here mirror prompt-templated classnames (6-20 tokens).
-    from flyp_tpu.tokenizer import shrink_context
+    tokens = jnp.asarray(shrink_context(tokens_np))
+    return step_fn, state, images, tokens, config
 
-    tokens_np = shrink_context(tokens_np)
-    ctx = tokens_np.shape[1]
-    tokens = jnp.asarray(tokens_np)
+
+def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: str = "ViT-B/16", remat: bool = False):
+    device = jax.devices()[0]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        batch_size, steps, warmup = min(batch_size, 8), 2, 1  # functional check only
+
+    step_fn, state, images, tokens, config = build_bench_step(batch_size, model_name, remat)
+    ctx = tokens.shape[1]
 
     # XLA's FLOP estimate for the whole train step (fwd+bwd+update).
     try:
@@ -96,17 +112,21 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
 
     impl = _default_impl()
     if step_flops and impl.startswith("pallas"):
-        def _attn_flops(L, H, layers, pad):
+        def _attn_flops(L, H, head_dim, layers, pad):
             lp = ((L + pad - 1) // pad) * pad
-            per_mm = batch_size * H * lp * lp * 64 * 2
+            per_mm = batch_size * H * lp * lp * head_dim * 2
             return layers * (2 + 4) * per_mm
 
         # ModifiedResNet towers run XLA convs (fully visible to cost
         # analysis); only transformer towers hide FLOPs in the kernel.
+        # head_dim derives from each tower's own width/heads (all current
+        # configs use 64, but a hardcode would silently miscount new ones).
         vis_tokens = config.vision.seq_len if config.vision.is_vit else 0
         if config.vision.is_vit:
-            step_flops += _attn_flops(vis_tokens, config.vision.width // 64, config.vision.layers, 16)
-        step_flops += _attn_flops(ctx, config.text.heads, config.text.layers, 16)
+            vh = config.vision.heads
+            step_flops += _attn_flops(vis_tokens, vh, config.vision.width // vh, config.vision.layers, 16)
+        th = config.text.heads
+        step_flops += _attn_flops(ctx, th, config.text.width // th, config.text.layers, 16)
 
     if step_flops and impl.startswith("pallas_block"):
         # The block kernels also hide the QKV projection (fwd + dW + dY),

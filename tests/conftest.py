@@ -6,10 +6,14 @@ validated on the host backend; real-TPU benchmarking lives in ``bench.py``.
 
 import os
 
+import re
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite hard-requires EXACTLY 8 devices (2x4 meshes, MeshConfig(data=8));
+# override any inherited count rather than failing with opaque reshape errors.
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 

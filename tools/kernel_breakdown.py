@@ -38,7 +38,10 @@ def main(batch=256):
     rng = np.random.default_rng(0)
     rows = []
 
-    for name, L, D, H, layers in (("vision", 197, 768, 12, 12), ("text", 77, 512, 8, 12)):
+    # Text at L=32: the production loader applies exact context shrinking
+    # (prompt-templated captions bucket to ~32 of the 77 slots), so timing
+    # L=77 would overstate the text share ~2.4x vs the benched step.
+    for name, L, D, H, layers in (("vision", 197, 768, 12, 12), ("text", 32, 512, 8, 12)):
         x = jnp.asarray(rng.standard_normal((batch, L, D)), dtype)
         p = dict(
             ln_scale=jnp.ones((D,), jnp.float32),
@@ -80,10 +83,17 @@ def main(batch=256):
         t_mlp = _time(jax.jit(jax.grad(mlp_loss, argnums=(0, 1, 2))), x, w1, w2)
         rows.append((f"mlp block {name} fwd+bwd", t_mlp, layers))
 
-    # AdamW update over the full ViT-B/16 state.
+    # AdamW update over the full ViT-B/16 state, bf16 moments like the bench
+    # default (FLYP_ADAM_MOMENT_DTYPE).  The update must RETURN the new
+    # opt_state: returning only the params lets XLA dead-code-eliminate the
+    # moment stores (~1.2 GB of the real tail's HBM traffic) and reads ~30%
+    # low — exactly the bandwidth this row exists to localize.
+    import os
+
     model = CLIPModel(MODEL_CONFIGS["ViT-B/16"], compute_dtype=dtype)
     params = init_clip_params(model, 0)
-    opt = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1)
+    moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
+    opt = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype=moment_dtype)
     state = create_train_state(params, opt)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
 
@@ -92,10 +102,10 @@ def main(batch=256):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         import optax
 
-        return optax.apply_updates(state.params, updates)
+        return optax.apply_updates(state.params, updates), opt_state
 
     t_opt = _time(update, state, grads)
-    rows.append(("adamw update (150M params)", t_opt, 1))
+    rows.append((f"adamw update (150M params, {moment_dtype} moments)", t_opt, 1))
 
     total = 0.0
     for name, t, mult in rows:

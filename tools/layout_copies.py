@@ -20,9 +20,6 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1, "pred": 1}
 
@@ -31,12 +28,19 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8"
 _SHAPE_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\w+)\[([\d,]*)\](?:\{[^{}]*\})?\s+(copy|transpose)\(")
 
+# Async copies XLA schedules for overlap: the copy-start's output is a tuple
+# whose FIRST element is the destination shape.  Count starts only (the
+# paired copy-done moves no additional bytes) — without this, exactly the
+# largest copies (the ones worth fixing) vanish from the tally.
+_ASYNC_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*\((\w+)\[([\d,]*)\](?:\{[^{}]*\})?[,)].*\s(copy-start)\(")
+
 
 def audit(hlo_text: str):
     """Return {(op, dtype, dims): (count, total_bytes)} for copy/transpose ops."""
     tally = defaultdict(lambda: [0, 0])
     for line in hlo_text.splitlines():
-        m = _SHAPE_RE.match(line)
+        m = _SHAPE_RE.match(line) or _ASYNC_RE.match(line)
         if not m:
             continue
         dtype, dims_s, op = m.groups()
@@ -52,31 +56,11 @@ def audit(hlo_text: str):
 
 
 def main(batch_size: int, model_name: str, remat: bool):
-    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
-    from flyp_tpu.tokenizer import shrink_context
-    from flyp_tpu.training.schedules import warmup_cosine_lr
-    from flyp_tpu.training.train_state import create_train_state, make_optimizer
-    from flyp_tpu.training.train_step import make_train_step
+    # The EXACT bench.py program (shared builder — the audited HLO must
+    # never drift from the benched step).
+    from bench import build_bench_step
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    config = MODEL_CONFIGS[model_name]
-    model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
-    variables = init_clip_variables(model, 0)
-    optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype="bfloat16")
-    state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
-    step_fn = make_train_step(model, optimizer, donate=True)
-
-    rng = np.random.default_rng(0)
-    px = config.vision.image_size
-    images = jnp.asarray(rng.standard_normal((batch_size, px, px, 3)), compute_dtype)
-    tokens_np = np.zeros((batch_size, 77), dtype=np.int32)
-    tokens_np[:, 0] = 49406
-    lengths = rng.integers(6, 20, batch_size)
-    for i, n in enumerate(lengths):
-        tokens_np[i, 1:n] = rng.integers(1, 49000, n - 1)
-        tokens_np[i, n] = 49407
-    tokens = jnp.asarray(shrink_context(tokens_np))
+    step_fn, state, images, tokens, _ = build_bench_step(batch_size, model_name, remat)
 
     print(f"compiling {model_name} batch={batch_size} remat={remat} ...", flush=True)
     compiled = step_fn.lower(state, images, tokens).compile()

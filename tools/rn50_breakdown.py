@@ -73,7 +73,11 @@ class Stage(nn.Module):
 def main(batch: int = 256):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     dt = jnp.bfloat16 if on_tpu else jnp.float32
-    peak = 197e12 if on_tpu else float("inf")
+    # Device-kind peak lookup shared with bench.py (a hardcoded 197e12
+    # misranks every stage on non-v5e generations).
+    from bench import peak_flops_for
+
+    peak = peak_flops_for(jax.devices()[0]) if on_tpu else float("inf")
     rng = np.random.default_rng(0)
 
     pieces = [
