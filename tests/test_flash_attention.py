@@ -40,12 +40,17 @@ def test_gradients_match_xla(causal, L):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)
 
 
-def test_padding_is_masked():
-    # Value rows beyond L must not contribute: compare L=100 vs an L=104
-    # input whose extra rows carry garbage in K/V but valid zeros in Q.
-    q, k, v = make_qkv(B=1, L=100, H=1)
-    out = flash_attention(q, k, v, False, True)
-    assert np.isfinite(np.asarray(out)).all()
+@pytest.mark.parametrize("causal", [False, True])
+def test_padding_is_masked(causal):
+    """L=100 is not tile-aligned, so the kernel zero-pads K/V internally;
+    the padded rows must not contribute to the softmax.  The XLA reference
+    sees only the unpadded L=100 arrays, so ANY leakage from the kernel's
+    internal padding (a masking regression) shows up as a value mismatch —
+    finiteness alone would pass with wrong values."""
+    q, k, v = make_qkv(B=1, L=100, H=2)
+    ours = flash_attention(q, k, v, causal, True)
+    ref = xla_attention(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
 def test_cross_attention_falls_through_to_xla():

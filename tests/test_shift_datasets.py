@@ -34,7 +34,6 @@ def test_objectnet_metadata_and_projection(tmp_path):
 
     # 1000-way logits project to 113 by max over each class's imagenet ids.
     logits = np.zeros((2, 1000), dtype=np.float32)
-    target_folder_idx = folders.index(folders[0])
     label_map_idx = sorted(folder_to_ids.keys()).index(folders[0])
     imagenet_ids = folder_to_ids[folders[0]]
     logits[0, imagenet_ids[0]] = 5.0

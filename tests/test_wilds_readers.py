@@ -88,7 +88,6 @@ def fmow_tree(tmp_path_factory):
     meta = pd.DataFrame(
         [{"split": s, "timestamp": t, "category": c, "region": r} for s, t, c, r in rows]
     )
-    meta.to_csv(d / "rgb_metadata.csv", index=False) if d.exists() else None
     os.makedirs(d / "images", exist_ok=True)
     meta.to_csv(d / "rgb_metadata.csv", index=False)
     for i in range(len(rows)):
