@@ -21,6 +21,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from flyp_tpu.parallel import multihost
+
 
 def _cache_path(cache_dir: str, dataset, split: str) -> str:
     return os.path.join(cache_dir, type(dataset).__name__, split, "features.npz")
@@ -60,9 +62,16 @@ def get_features(
 
     loader = dataset.train_loader if split == "train" else dataset.test_loader
     out = extract_loader_features(classifier, loader, with_paths=with_paths)
-    if cache:
+    if cache and multihost.is_primary():
+        # Single-writer rule (docs/PARITY.md divergence 13): probe/fisher
+        # loaders are replicated across hosts, so every process reaches this
+        # miss path with the same cache key.  Only the primary writes, and via
+        # tmp+rename so a concurrent reader never sees a torn .npz.
         os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.savez(cache, **out)
+        # np.savez appends .npz to names missing it — keep the suffix last.
+        tmp = cache + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, **out)
+        os.replace(tmp, cache)
     return out
 
 

@@ -45,8 +45,12 @@ def _tokenize_tuple(prompts: tuple) -> np.ndarray:
     single-core BPE at ImageNet scale (1000 x 80, tools/mfu_levers
     zeroshot).  Keyed by the prompt tuple itself — collisions impossible;
     lru_cache evicts one stale entry at a time, so eval loops over more
-    datasets than the bound don't thrash."""
-    return np.asarray(tokenize(list(prompts)))
+    datasets than the bound don't thrash.  The cached array is frozen
+    (writeable=False) so an accidental in-place mutation by a consumer raises
+    instead of silently poisoning the cross-epoch cache."""
+    arr = np.asarray(tokenize(list(prompts)))
+    arr.flags.writeable = False
+    return arr
 
 
 def _tokenize_cached(prompts: Sequence[str]) -> np.ndarray:
