@@ -18,23 +18,12 @@ import functools
 import gzip
 import html
 import os
-import unicodedata
 from typing import Iterable, List, Sequence, Union
 
 import numpy as np
 import regex
 
-try:  # pragma: no cover - optional dependency
-    import ftfy
-
-    _fix_text = ftfy.fix_text
-except Exception:  # pragma: no cover
-    def _fix_text(text: str) -> str:
-        # Light-weight stand-in for ftfy: normalize to NFC and drop control
-        # characters.  Prompt templates and CSV captions are clean text, so
-        # mojibake repair is not needed for parity on the supported datasets.
-        text = unicodedata.normalize("NFC", text)
-        return "".join(c for c in text if unicodedata.category(c) != "Cc" or c in "\t\n\r")
+from flyp_tpu.tokenizer.cleaning import fix_text as _fix_text
 
 
 VOCAB_SIZE = 49408  # 2*256 byte symbols + 48,894 merges + 2 special tokens

@@ -69,17 +69,82 @@ def test_decode_roundtrip():
     assert tok.decode(tok.encode("a photo of a cat.")).strip() == "a photo of a cat ."
 
 
+# Raw caption -> expected token ids, generated once from real ftfy semantics
+# (ftfy.fix_text's default pipeline: mojibake repair, auto HTML unescape,
+# C1/ligature/width fixes, quote uncurling, control-char removal, NFC) and
+# hardcoded so cleaning parity never depends on an identity stub.  The BPE
+# layer itself is pinned separately by the live reference cross-check below.
+# Ref: /root/reference/clip/tokenizer.py:50-60,129-131.
+FTFY_GOLDEN = [
+    # single-encoded cp1252 mojibake of a curly quote -> "doesn't"
+    ("The Mona Lisa doesnâ€™t have eyebrows.",
+     [518, 19143, 7424, 2503, 713, 720, 19923, 269]),
+    # double-encoded mojibake (two repair passes)
+    ("doesnÃ¢â‚¬â„¢t", [2503, 713]),
+    # latin-1-read UTF-8 accents (the classic ftfy example)
+    ("l'humanitÃ© en marche", [331, 262, 3175, 529, 4166, 576, 36173]),
+    ("Ã¼ber cool", [6522, 1516, 2077]),
+    # mojibake of a non-Latin symbol (U+2714)
+    ("âœ” no problems", [13749, 871, 4671]),
+    # decomposed accent -> NFC
+    ("café terrace at night", [15304, 13820, 536, 930]),
+    # curly quotes uncurled to ASCII
+    ("“Fancy” isn’t plain", [257, 6733, 257, 2923, 713, 10709]),
+    # HTML entities (ftfy auto-unescape + the double html.unescape)
+    ("fish &amp; chips &lt;fresh&gt;", [2759, 261, 8855, 283, 2975, 285]),
+    ("R&amp;amp;D &#112;rogram", [337, 261, 323, 2737]),
+    # latin ligatures expanded
+    ("ﬁnancial beneﬁts", [4930, 5465]),
+    # fullwidth forms -> ASCII
+    ("Ｆｕｌｌｗｉｄｔｈ ５０％",
+     [9407, 23571, 276, 271, 260]),
+    # control chars + ANSI terminal escapes removed
+    ("a\x00photo \x1b[1mof\x1b[0m a dog", [21758, 531, 539, 320, 1929]),
+    # unicode whitespace (NBSP) collapses like ASCII whitespace
+    ("good\xa0morning friend", [886, 1119, 1625]),
+    # clean accented text is left alone (repair never fires on valid text)
+    ("à la carte", [21259, 1210, 44949]),
+]
+
+
+def test_ftfy_golden_fixtures():
+    tok = get_tokenizer()
+    for raw, ids in FTFY_GOLDEN:
+        assert tok.encode(raw) == ids, raw
+
+
+def test_cleaning_idempotent():
+    # The full cleaning stage (fix_text + double html.unescape + whitespace
+    # collapse, as the reference composes it) is a fixed point on its own
+    # output.  fix_text alone is NOT idempotent on nested HTML entities —
+    # neither is real ftfy — which is exactly why the reference unescapes
+    # twice more afterwards (/root/reference/clip/tokenizer.py:50-53).
+    from flyp_tpu.tokenizer.bpe import _clean_text
+    from flyp_tpu.tokenizer.cleaning import _fix_text_fallback
+
+    for raw, _ in FTFY_GOLDEN:
+        once = _clean_text(raw)
+        assert _clean_text(once) == once, raw
+    # Clean natural text is untouched by the repair passes.
+    for s in ["naïve résumé", "à la carte", "a photo of a dog."]:
+        assert _fix_text_fallback(s) == s
+
+
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree not mounted")
 def test_against_reference_tokenizer():
-    # The reference imports ftfy unconditionally; stub it when absent so the
-    # comparison isolates the BPE machinery (both sides then clean with a
-    # pass-through, which is exact for ASCII prompts).
+    # The reference imports ftfy unconditionally.  When ftfy is absent, stub
+    # it with OUR fallback cleaner so both sides run the SAME cleaning and
+    # the comparison pins the BPE machinery on the full caption domain
+    # (non-ASCII included); cleaning fidelity itself is pinned by the
+    # hardcoded FTFY_GOLDEN fixtures above.
     if "ftfy" not in sys.modules:
         try:
             import ftfy  # noqa: F401
         except ImportError:
+            from flyp_tpu.tokenizer.cleaning import _fix_text_fallback
+
             stub = types.ModuleType("ftfy")
-            stub.fix_text = lambda t: t
+            stub.fix_text = _fix_text_fallback
             sys.modules["ftfy"] = stub
 
     sys.path.insert(0, REFERENCE)
@@ -90,7 +155,7 @@ def test_against_reference_tokenizer():
 
     ref = RefTokenizer()
     ours = ClipTokenizer()
-    for text in SAMPLES:
+    for text in SAMPLES + [raw for raw, _ in FTFY_GOLDEN]:
         assert ours.encode(text) == ref.encode(text), text
 
 
