@@ -45,7 +45,7 @@ def peak_flops_for(device) -> float:
     return 197.0e12
 
 
-def build_bench_step(batch_size: int, model_name: str, remat: bool):
+def build_bench_step(batch_size: int, model_name: str, remat: bool, config_overrides: dict | None = None):
     """The EXACT train step + synthetic inputs the bench times.
 
     Shared with ``tools/layout_copies.py`` so the audited HLO can never
@@ -68,6 +68,13 @@ def build_bench_step(batch_size: int, model_name: str, remat: bool):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     config = MODEL_CONFIGS[model_name]
+    if config_overrides:
+        import dataclasses
+
+        vision_fields = {f.name for f in dataclasses.fields(config.vision)}
+        vis = {k: v for k, v in config_overrides.items() if k in vision_fields}
+        top = {k: v for k, v in config_overrides.items() if k not in vision_fields}
+        config = dataclasses.replace(config, vision=dataclasses.replace(config.vision, **vis), **top)
     model = CLIPModel(config, compute_dtype=compute_dtype, remat=remat)
     variables = init_clip_variables(model, 0)
     moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
@@ -184,9 +191,99 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3, model_name: st
     return result
 
 
+def parse_spec(spec: str):
+    """``MODEL[+remat][:field=value,...]`` -> (model_name, remat, overrides).
+
+    Override fields resolve against VisionConfig first, then CLIPConfig
+    (e.g. ``RN50:stem_impl=s2d``).  Values parse as int when possible,
+    else stay strings."""
+    overrides = {}
+    if ":" in spec:
+        spec, kvs = spec.split(":", 1)
+        for kv in kvs.split(","):
+            k, v = kv.split("=")
+            try:
+                overrides[k] = int(v)
+            except ValueError:
+                overrides[k] = v
+    remat = spec.endswith("+remat")
+    model_name = spec[: -len("+remat")] if remat else spec
+    return model_name, remat, overrides
+
+
+def main_ab(spec_a: str, spec_b: str, batch_size: int = 256, blocks: int = 6, steps_per_block: int = 10):
+    """Interleaved A/B: alternate two configs within ONE session and report
+    paired per-block statistics.
+
+    RN50 benches carry ~±5% *between-session* noise on this tunneled chip
+    while reproducing exactly within a session (docs/BENCHMARKS.md round 3b
+    NOTE); interleaving blocks of the two programs makes conv-heavy claims
+    self-defending: both sides see the same host state, and the per-block
+    pairing cancels slow drift.  Prints a per-block table to stderr and one
+    JSON line to stdout."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        batch_size, blocks, steps_per_block = min(batch_size, 8), 2, 2
+
+    sides = {}
+    for label, spec in (("A", spec_a), ("B", spec_b)):
+        model_name, remat, overrides = parse_spec(spec)
+        step_fn, state, images, tokens, _ = build_bench_step(batch_size, model_name, remat, overrides)
+        sides[label] = {"spec": spec, "step": step_fn, "state": state, "images": images, "tokens": tokens}
+
+    def run_block(side, steps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            side["state"], metrics = side["step"](side["state"], side["images"], side["tokens"])
+        _ = float(jax.device_get(metrics["loss"]))  # axon: only a transfer syncs
+        return time.perf_counter() - t0
+
+    # Warmup (compile + first real block) both sides before any timed block.
+    for side in sides.values():
+        run_block(side, 3)
+
+    times = {"A": [], "B": []}
+    for i in range(blocks):
+        for label in ("A", "B"):
+            dt = run_block(sides[label], steps_per_block)
+            times[label].append(dt / steps_per_block)
+        ra, rb = batch_size / times["A"][-1], batch_size / times["B"][-1]
+        print(f"block {i}: A {ra:8.1f} img/s   B {rb:8.1f} img/s   A/B {ra / rb:6.4f}", file=sys.stderr, flush=True)
+
+    imgps = {k: [batch_size / t for t in v] for k, v in times.items()}
+    ratios = [a / b for a, b in zip(imgps["A"], imgps["B"])]
+
+    def _stats(xs):
+        m = sum(xs) / len(xs)
+        sd = (sum((x - m) ** 2 for x in xs) / max(len(xs) - 1, 1)) ** 0.5
+        return {"mean": round(m, 2), "std": round(sd, 2), "min": round(min(xs), 2), "max": round(max(xs), 2)}
+
+    result = {
+        "metric": f"A/B paired throughput ratio [{spec_a}] / [{spec_b}]",
+        "value": round(sum(ratios) / len(ratios), 4),
+        "unit": "ratio",
+        "vs_baseline": 1.0,
+        "extra": {
+            "batch_size": batch_size,
+            "blocks": blocks,
+            "steps_per_block": steps_per_block,
+            "ratio": _stats(ratios),
+            "A_imgps": _stats(imgps["A"]),
+            "B_imgps": _stats(imgps["B"]),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B/16"
-    # Remat (with the saved-kernel-residuals policy) only where activations
-    # don't fit outright: the ViT-L family at 16 GB.
-    main(batch_size=bs, model_name=name, remat=name.startswith("ViT-L"))
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        spec_a, spec_b = sys.argv[2], sys.argv[3]
+        bs = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+        main_ab(spec_a, spec_b, batch_size=bs)
+    else:
+        bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+        name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B/16"
+        # Remat (with the saved-kernel-residuals policy) only where activations
+        # don't fit outright: the ViT-L family at 16 GB.
+        main(batch_size=bs, model_name=name, remat=name.startswith("ViT-L"))

@@ -24,6 +24,12 @@ class VisionConfig:
     layers: int = 12
     heads: int = 12
     resnet_layers: Optional[Tuple[int, int, int, int]] = None
+    # ModifiedResNet stem execution layout — NOT an architecture change.
+    # "reference": the literal 3-conv stem (`clip/model.py:99-110`);
+    # "s2d": the numerically-identical space-to-depth fold (models/resnet.py)
+    # that feeds the 128-lane MXU dense operands.  Params/checkpoints are
+    # identical either way.
+    stem_impl: str = "reference"
 
     @property
     def is_vit(self) -> bool:

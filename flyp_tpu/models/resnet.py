@@ -137,6 +137,76 @@ class AttentionPool2d(nn.Module):
         return dense(o, self.output_dim, "c_proj")  # the mean-token output (`clip/model.py:92`)
 
 
+def fold_conv_weight(w: jax.Array, fi: int, fo: int, stride: int) -> tuple[jax.Array, tuple[int, int]]:
+    """Rewrite a KxK/stride conv weight for space-to-depth-folded operands.
+
+    Input folded by ``fi`` (channel index ``(di*fi+dj)*cin + c``), output
+    folded by ``fo`` (``(a*fo+b)*cout + o``); requires ``fi == stride*fo``
+    so both sides live on the same folded grid.  Returns the folded weight
+    ``[Kf, Kf, fi*fi*cin, fo*fo*cout]`` (structured zeros where the original
+    receptive field has no tap) and the (top, bottom) spatial padding that
+    reproduces the original ``K//2`` zero padding.  The folded conv is
+    numerically identical: every original multiply appears exactly once.
+    """
+    K, _, cin, cout = w.shape
+    assert fi == stride * fo, (fi, stride, fo)
+    P = K // 2
+    offs = [stride * a - P + kh for a in range(fo) for kh in range(K)]
+    pad_top = -(min(offs) // fi) if min(offs) < 0 else 0
+    kf = pad_top + max(offs) // fi + 1
+
+    wf = jnp.zeros((kf, kf, fi * fi * cin, fo * fo * cout), w.dtype)
+    for a in range(fo):
+        for kh in range(K):
+            off = stride * a - P + kh
+            ki, di = pad_top + off // fi, off % fi
+            for b in range(fo):
+                for kw in range(K):
+                    offw = stride * b - P + kw
+                    kj, dj = pad_top + offw // fi, offw % fi
+                    ci = (di * fi + dj) * cin
+                    co = (a * fo + b) * cout
+                    wf = wf.at[ki, kj, ci : ci + cin, co : co + cout].set(w[kh, kw])
+    return wf, (pad_top, kf - 1 - pad_top)
+
+
+def space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    """[B, H, W, C] -> [B, H/f, W/f, f*f*C], channel index (di*f+dj)*C + c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // f, f, W // f, f, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // f, W // f, f * f * C)
+
+
+class _FoldedStemConv(nn.Module):
+    """A stem conv evaluated on space-to-depth-folded operands.
+
+    Declares the kernel under the SAME path/shape/init as the ``nn.Conv``
+    it replaces (``<name>/kernel``, ``[K, K, cin, cout]``, lecun-normal), so
+    checkpoints, the torch converter, and sharding walks are unchanged; the
+    fold to the dense >=128-channel kernel happens inside the forward."""
+
+    features: int
+    kernel: int
+    cin: int
+    fi: int
+    fo: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.cin, self.features),
+            jnp.float32,
+        )
+        wf, pad = fold_conv_weight(w.astype(x.dtype), self.fi, self.fo, self.stride)
+        return jax.lax.conv_general_dilated(
+            x, wf, window_strides=(1, 1), padding=(pad, pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ModifiedResNet(nn.Module):
     config: VisionConfig
     embed_dim: int
@@ -151,11 +221,32 @@ class ModifiedResNet(nn.Module):
         def bn(n, name):
             return TorchBatchNorm(momentum=0.9, epsilon=1e-5, dtype=dt, name=name)(n, use_running_average=not train)
 
-        # 3-conv stem.
-        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, dtype=dt, name="conv1")(x), "bn1"))
-        x = nn.relu(bn(nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv2")(x), "bn2"))
-        x = nn.relu(bn(nn.Conv(width, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv3")(x), "bn3"))
-        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        if cfg.stem_impl == "s2d":
+            # Space-to-depth stem: the three low-channel convs
+            # (C=3/32/32 underfill the 128-lane MXU) run on 2x2-folded
+            # operands at 56^2 x >=48 channels; weights fold inside the
+            # forward (fold_conv_weight), so numerics and the param tree
+            # match the reference stem exactly.  The final avg_pool is a
+            # free mean over the folded sub-grid.  Measured A/B in
+            # docs/BENCHMARKS.md round 4.
+            def bn_folded(n, name):
+                B, H, W, F = n.shape
+                flat = n.reshape(B, H, W * 4, F // 4)  # channel=(sub, c): stats pool subs
+                flat = bn(flat, name)
+                return flat.reshape(B, H, W, F)
+
+            x = space_to_depth(x, 4)  # [B, 56, 56, 48]
+            x = nn.relu(bn_folded(_FoldedStemConv(width // 2, 3, 3, fi=4, fo=2, stride=2, name="conv1")(x), "bn1"))
+            x = nn.relu(bn_folded(_FoldedStemConv(width // 2, 3, width // 2, fi=2, fo=2, stride=1, name="conv2")(x), "bn2"))
+            x = nn.relu(bn_folded(_FoldedStemConv(width, 3, width // 2, fi=2, fo=2, stride=1, name="conv3")(x), "bn3"))
+            B, H, W, F = x.shape
+            x = x.reshape(B, H, W, 4, F // 4).mean(axis=3).astype(dt)  # == avg_pool(2,2)
+        else:
+            # 3-conv stem.
+            x = nn.relu(bn(nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, dtype=dt, name="conv1")(x), "bn1"))
+            x = nn.relu(bn(nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv2")(x), "bn2"))
+            x = nn.relu(bn(nn.Conv(width, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv3")(x), "bn3"))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
         for stage, (blocks, planes, stride) in enumerate(
             zip(cfg.resnet_layers, (width, width * 2, width * 4, width * 8), (1, 2, 2, 2))

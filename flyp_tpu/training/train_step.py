@@ -36,6 +36,7 @@ def make_train_step(
     use_ground_labels: bool = False,
     donate: bool = True,
     log_grad_norm: bool = False,
+    freeze_encoder: bool = False,
 ) -> Callable:
     """Build the compiled train step.
 
@@ -43,6 +44,14 @@ def make_train_step(
     (state, metrics)`` where metrics carries the mean loss, the per-item
     losses (curriculum clustering consumes them, `flyp_loss.py:502-506`) and
     the current learning rate.
+
+    ``freeze_encoder`` implements the reference's ``--freeze-encoder`` flag
+    (`src/args.py:119-123`): the image tower trains no further.  The
+    reference optimizer already filters to ``requires_grad`` params
+    (`flyp_loss.py:368-371` — frozen params get NO Adam update and NO
+    weight decay), so the equivalent here zeroes both the visual-tower
+    gradients (keeping its Adam moments at exactly 0) and its final
+    updates (discarding the decoupled weight-decay term).
 
     ``log_grad_norm`` adds the global gradient L2 norm to the metrics —
     the TPU-native stand-in for the reference's
@@ -77,8 +86,16 @@ def make_train_step(
             loss = jnp.mean(per_item)
             return loss, (per_item, new_stats)
 
+        def zero_visual(tree):
+            # Zero the image-tower subtree, leave text/logit_scale intact.
+            return {k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k == "visual" else v) for k, v in tree.items()}
+
         (loss, (per_item, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if freeze_encoder:
+            grads = zero_visual(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        if freeze_encoder:
+            updates = zero_visual(updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1,
