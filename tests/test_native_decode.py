@@ -102,3 +102,50 @@ def test_csv_loader_with_native_backend(tmp_path):
     for a, b in zip(pil_batches, nat_batches):
         np.testing.assert_array_equal(a["label"], b["label"])
         assert np.abs(a["image"] - b["image"]).max() <= _LSB
+
+
+def test_multithread_scaling():
+    """GIL-free thread scaling of the native decode+transform path (the
+    design premise of the threaded loader, `data/loader.py`): throughput at
+    T threads must reach >=60% of linear.  Skips on hosts with <4 cores —
+    this 1-core CI container cannot exercise parallelism (the measured
+    1-core numbers live in tools/host_decode_bench.py / docs/DATA.md);
+    real TPU hosts have 100+ cores."""
+    n_cores = os.cpu_count() or 1
+    if n_cores < 4:
+        pytest.skip(f"needs >=4 host cores to measure scaling (have {n_cores})")
+
+    import threading
+    import time
+
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:480, 0:480]
+    base = (128 + 60 * np.sin(x / 17.0) * np.cos(y / 23.0)).astype(np.uint8)
+    arr = np.clip(np.stack([base] * 3, -1).astype(np.int16)
+                  + rng.integers(-25, 25, (480, 480, 3)), 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    tr = nd.NativeTransform(224, train=False)
+
+    def run_batch(n_images: int, n_threads: int) -> float:
+        per = n_images // n_threads
+        def work():
+            for _ in range(per):
+                tr.from_bytes(data)
+        threads = [threading.Thread(target=work) for _ in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return n_threads * per / (time.perf_counter() - t0)
+
+    run_batch(8, 1)  # warm the library
+    t_threads = min(4, n_cores)
+    r1 = run_batch(48, 1)
+    rt = run_batch(48 * t_threads, t_threads)
+    assert rt > 0.6 * t_threads * r1, (
+        f"native path does not scale: {r1:.0f} img/s x1 -> {rt:.0f} img/s x{t_threads} "
+        f"({rt / r1:.2f}x, need >= {0.6 * t_threads:.1f}x)"
+    )

@@ -1,19 +1,31 @@
 """Per-component step-time breakdown on the real chip.
 
-Times the isolated pieces of the ViT-B/16 batch-256 train step — attention
-block fwd / fwd+bwd (vision + text shapes), the XLA MLP block, and the
-AdamW update — each synchronized through a scalar fetch (axon's
-block_until_ready returns at enqueue).  Multiplied by layer counts this
-reconstructs the 260ms step and shows where the non-matmul time lives.
+Times the isolated pieces of a train step — attention block fwd / fwd+bwd
+(vision + text shapes), the XLA MLP block, the fixed tails (patch embed,
+token embed, final projections, ClipLoss), and the AdamW update — each
+synchronized through a scalar fetch (axon's block_until_ready returns at
+enqueue).  Multiplied by layer counts this reconstructs the measured step
+and shows where the non-matmul time lives.
 
-Usage: python -m tools.kernel_breakdown
+Usage: python -m tools.kernel_breakdown [batch] [model]
+e.g. ``python -m tools.kernel_breakdown 512 ViT-B/32`` for the B/32 map
+(VERDICT round-4 task 5: localize the 11-MFU-point gap to B/16).
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# (vision L, D, H, layers), (text L, D, H, layers) per family.  Text at the
+# shrunk context (L=32): prompt-templated captions bucket to ~32 slots.
+SHAPES = {
+    "ViT-B/16": ((197, 768, 12, 12), (32, 512, 8, 12)),
+    "ViT-B/32": ((50, 768, 12, 12), (32, 512, 8, 12)),
+    "ViT-L/14": ((257, 1024, 16, 24), (32, 768, 12, 12)),
+}
 
 
 def _time(fn, *args, iters=30):
@@ -26,7 +38,7 @@ def _time(fn, *args, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
-def main(batch=256):
+def main(batch=256, model_name="ViT-B/16"):
     from flyp_tpu.models import MODEL_CONFIGS, CLIPModel, init_clip_params
     from flyp_tpu.ops.attention_block import attention_block
     from flyp_tpu.training.schedules import warmup_cosine_lr
@@ -37,11 +49,9 @@ def main(batch=256):
     interpret = not on_tpu
     rng = np.random.default_rng(0)
     rows = []
+    (vL, vD, vH, vlayers), (tL, tD, tH, tlayers) = SHAPES[model_name]
 
-    # Text at L=32: the production loader applies exact context shrinking
-    # (prompt-templated captions bucket to ~32 of the 77 slots), so timing
-    # L=77 would overstate the text share ~2.4x vs the benched step.
-    for name, L, D, H, layers in (("vision", 197, 768, 12, 12), ("text", 32, 512, 8, 12)):
+    for name, L, D, H, layers in (("vision", vL, vD, vH, vlayers), ("text", tL, tD, tH, tlayers)):
         x = jnp.asarray(rng.standard_normal((batch, L, D)), dtype)
         p = dict(
             ln_scale=jnp.ones((D,), jnp.float32),
@@ -90,7 +100,7 @@ def main(batch=256):
     # low — exactly the bandwidth this row exists to localize.
     import os
 
-    model = CLIPModel(MODEL_CONFIGS["ViT-B/16"], compute_dtype=dtype)
+    model = CLIPModel(MODEL_CONFIGS[model_name], compute_dtype=dtype)
     params = init_clip_params(model, 0)
     moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
     opt = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype=moment_dtype)
@@ -105,15 +115,38 @@ def main(batch=256):
         return optax.apply_updates(state.params, updates), opt_state
 
     t_opt = _time(update, state, grads)
-    rows.append((f"adamw update (150M params, {moment_dtype} moments)", t_opt, 1))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params)) / 1e6
+    rows.append((f"adamw update ({n_params:.0f}M params, {moment_dtype} moments)", t_opt, 1))
+
+    # The FULL benched train step, same session: the residual after
+    # subtracting towers+opt is the fixed tails (patch/token embed, final
+    # LN+proj, ClipLoss 2BxB softmax, logit-scale, loader casts).
+    from bench import build_bench_step
+
+    step_fn, state_b, images, tokens, _ = build_bench_step(
+        batch, model_name, remat=model_name.startswith("ViT-L")
+    )
+    state_b, m = step_fn(state_b, images, tokens)
+    _ = float(jax.device_get(m["loss"]))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state_b, m = step_fn(state_b, images, tokens)
+    _ = float(jax.device_get(m["loss"]))
+    t_step = (time.perf_counter() - t0) / iters
 
     total = 0.0
     for name, t, mult in rows:
-        print(f"{name:>32s}: {t*1e3:7.2f} ms x{mult:<3d} = {t*mult*1e3:7.1f} ms")
-        if "fwd+bwd" in name or "adamw" in name:
+        share = t * mult / t_step * 100 if ("fwd+bwd" in name or "adamw" in name) else 0.0
+        tag = f"  ({share:4.1f}% of step)" if share else ""
+        print(f"{name:>40s}: {t*1e3:7.2f} ms x{mult:<3d} = {t*mult*1e3:7.1f} ms{tag}")
+        if share:
             total += t * mult
-    print(f"reconstructed fwd+bwd+opt total ~ {total*1e3:.0f} ms (measured step: ~260 ms)")
+    resid = t_step - total
+    print(f"{'full train step (measured)':>40s}: {t_step*1e3:7.1f} ms   ({batch / t_step:.0f} img/s)")
+    print(f"{'residual = fixed tails':>40s}: {resid*1e3:7.1f} ms  ({resid / t_step * 100:.1f}% of step)")
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256,
+         sys.argv[2] if len(sys.argv) > 2 else "ViT-B/16")
