@@ -91,6 +91,7 @@ MODEL_CONFIGS = {
     "RN101": _resnet(512, 224, 64, (3, 4, 23, 3), 512, 8, 12),
     "RN50x4": _resnet(640, 288, 80, (4, 6, 10, 6), 640, 10, 12),
     "RN50x16": _resnet(768, 384, 96, (6, 8, 18, 8), 768, 12, 12),
+    "RN50x64": _resnet(1024, 448, 128, (3, 15, 36, 10), 1024, 16, 12),
 }
 
 

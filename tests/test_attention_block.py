@@ -383,3 +383,33 @@ def test_mlp_block_partitioned_over_mesh():
     grads_mesh = jax.jit(jax.grad(loss, argnums=tuple(range(len(args) + 1))))(x_s, *args_s)
     for name, a, b in zip(["x"] + keys, grads_mesh, grads_1dev):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_attention_block_exact_lp_matches_padded(monkeypatch):
+    """Lp == L (no 16-row pad; legal per Mosaic's block-dims-equal-array-dims
+    rule) must match the padded kernel — forward and grads.  Guards the
+    exact-Lp execution path `tools/lp_experiment.py` times on-chip."""
+    import flyp_tpu.ops.attention_block as ab
+
+    B, L, D, H = 3, 50, 128, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    p = _params(D)
+    keys = sorted(p)
+    args = [p[k] for k in keys]
+
+    def loss(x, *a):
+        pp = dict(zip(keys, a))
+        out = attention_block(x, pp["ln_scale"], pp["ln_bias"], pp["wqkv"], pp["bqkv"], pp["wout"], pp["bout"], H, False, True)
+        return jnp.sum(out ** 2)
+
+    g_pad = jax.grad(loss, argnums=tuple(range(len(args) + 1)))(x, *args)
+    out_pad = attention_block(x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"], p["wout"], p["bout"], H, False, True)
+
+    monkeypatch.setattr(ab, "_pad_len", lambda L, dtype: L)
+    g_exact = jax.grad(loss, argnums=tuple(range(len(args) + 1)))(x, *args)
+    out_exact = attention_block(x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"], p["wout"], p["bout"], H, False, True)
+
+    np.testing.assert_allclose(np.asarray(out_exact), np.asarray(out_pad), atol=2e-5, rtol=2e-5)
+    for name, a, b in zip(["x"] + keys, g_exact, g_pad):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name)
