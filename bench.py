@@ -230,23 +230,32 @@ def main_ab(spec_a: str, spec_b: str, batch_size: int = 256, blocks: int = 6, st
 
     base_attn = os.environ.get(_IMPL_ENV)
     sides = {}
-    for label, spec in (("A", spec_a), ("B", spec_b)):
-        model_name, remat, overrides = parse_spec(spec)
-        # The attention impl is read from the env at TRACE time (lru_cached):
-        # set/restore it around each side's build so an `attn=` override
-        # bakes into that side's compiled program ONLY.
-        attn = overrides.pop("attn", base_attn)
-        if attn is None:
+    try:
+        for label, spec in (("A", spec_a), ("B", spec_b)):
+            model_name, remat, overrides = parse_spec(spec)
+            # The attention impl is read from the env at TRACE time (lru_cached):
+            # set/restore it around each side's build so an `attn=` override
+            # bakes into that side's compiled program ONLY.
+            attn = overrides.pop("attn", base_attn)
+            if attn is None:
+                os.environ.pop(_IMPL_ENV, None)
+            else:
+                os.environ[_IMPL_ENV] = str(attn)
+            _default_impl.cache_clear()
+            step_fn, state, images, tokens, _ = build_bench_step(batch_size, model_name, remat, overrides)
+            # jit traces LAZILY at first call — which would happen after the env
+            # is restored for the other side.  AOT-compile here so the impl
+            # choice is baked in while this side's env is active.
+            step_fn = step_fn.lower(state, images, tokens).compile()
+            sides[label] = {"spec": spec, "step": step_fn, "state": state, "images": images, "tokens": tokens}
+    finally:
+        # Both programs are AOT-compiled now; restore the process-wide impl so
+        # a programmatic caller doesn't inherit side B's override.
+        if base_attn is None:
             os.environ.pop(_IMPL_ENV, None)
         else:
-            os.environ[_IMPL_ENV] = str(attn)
+            os.environ[_IMPL_ENV] = base_attn
         _default_impl.cache_clear()
-        step_fn, state, images, tokens, _ = build_bench_step(batch_size, model_name, remat, overrides)
-        # jit traces LAZILY at first call — which would happen after the env
-        # is restored for the other side.  AOT-compile here so the impl
-        # choice is baked in while this side's env is active.
-        step_fn = step_fn.lower(state, images, tokens).compile()
-        sides[label] = {"spec": spec, "step": step_fn, "state": state, "images": images, "tokens": tokens}
 
     def run_block(side, steps):
         t0 = time.perf_counter()

@@ -1,0 +1,71 @@
+"""Guards for the measurement tools in tools/ that carry on-chip claims.
+
+These run in interpret/CPU mode: they pin the *correctness* of the probe
+kernels and the A/B bench plumbing so the numbers recorded in
+docs/BENCHMARKS.md stay attached to code that still computes the right
+thing.  The rates themselves are chip-only and live in the docs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_probe_gemm_int8_exact():
+    """The int8 probe GEMM (tools/int8_matmul_probe._pallas_mm) must be an
+    exact int32-accumulated int8 matmul — the probe's TOP/s claims are
+    meaningless if the kernel computes something cheaper."""
+    from tools.int8_matmul_probe import _pallas_mm
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 127, (1024, 768)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 127, (768, 512)), jnp.int8)
+    out = _pallas_mm(a, b, jnp.int32, interpret=True)
+    ref = np.asarray(a, np.int32) @ np.asarray(b, np.int32)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_pallas_probe_gemm_bf16():
+    from tools.int8_matmul_probe import _pallas_mm
+
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((512, 768)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((768, 512)), jnp.bfloat16)
+    out = _pallas_mm(a, b, jnp.float32, interpret=True)
+    ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=1e-1)
+
+
+def test_bench_ab_bakes_distinct_impls(monkeypatch, capsys):
+    """bench.py --ab must AOT-compile each side under its own attn= override
+    (a lazy jit trace silently measures the same impl twice — the footgun
+    documented in docs/BENCHMARKS.md round 4), and must restore the
+    process-wide impl afterwards."""
+    import os
+
+    import bench
+    import flyp_tpu.models as models
+    from __graft_entry__ import _tiny_config
+    from flyp_tpu.ops.attention import _IMPL_ENV, _default_impl
+
+    monkeypatch.setitem(models.MODEL_CONFIGS, "TINY-AB", _tiny_config())
+    monkeypatch.setenv(_IMPL_ENV, "xla")
+    _default_impl.cache_clear()
+
+    seen = []
+    orig_build = bench.build_bench_step
+
+    def spy_build(*args, **kwargs):
+        seen.append(_default_impl())
+        return orig_build(*args, **kwargs)
+
+    monkeypatch.setattr(bench, "build_bench_step", spy_build)
+    result = bench.main_ab("TINY-AB:attn=pallas_block", "TINY-AB:attn=xla", batch_size=4)
+    # Each side's build ran under its own impl...
+    assert seen == ["pallas_block", "xla"], seen
+    # ...the ratio is a real number from two executed programs...
+    assert result["value"] > 0
+    # ...and the process-wide impl was restored.
+    assert os.environ.get(_IMPL_ENV) == "xla"
+    assert _default_impl() == "xla"
+    _default_impl.cache_clear()

@@ -70,5 +70,68 @@ def main(batch=256):
         )
 
 
+def _pallas_mm(a, b, out_dtype, bm=512, bn=512, interpret=False):
+    """Plain blocked GEMM through Mosaic: one (bm, K)x(K, bn) dot per grid
+    program, full-depth contraction (no k-loop — K<=3072 fits VMEM).  Used
+    to check whether the MXU's int8 path is reachable when WE emit the dot,
+    independent of XLA's int8 lowering."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = a.shape
+    _, N = b.shape
+    bn = min(bn, N)
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=out_dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(M // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(a, b)
+
+
+def main_pallas(batch=256):
+    """int8 vs bf16 through a hand-written Mosaic GEMM at the best (qkv) and
+    worst (out-proj) shapes from the XLA probe."""
+    M = batch * 208
+    rng = np.random.default_rng(0)
+    interpret = jax.default_backend() == "cpu"
+    print(f"{'shape':28s} {'bf16-pallas':>12s} {'int8-pallas':>12s}   (TOP/s)")
+    # big-square is the ceiling probe: if 2x int8 is reachable at ALL on this
+    # chip, it shows here; the serving shapes then tell how much survives.
+    for name, m, k, n in [("qkv  [M,768]x[768,2304]", M, 768, 2304),
+                          ("out  [M,768]x[768,768]", M, 768, 768),
+                          ("big  [16384,4096]x[4096,4096]", 16384, 4096, 4096)]:
+        a16 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        b16 = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+        a8 = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
+        b8 = jnp.asarray(rng.integers(-127, 127, (k, n)), jnp.int8)
+        flops = 2.0 * m * k * n
+        f16 = jax.jit(lambda a, b: _pallas_mm(a, b, jnp.float32, interpret=interpret))
+        f8 = jax.jit(lambda a, b: _pallas_mm(a, b, jnp.int32, interpret=interpret))
+        # correctness guard (tiny slice, exact in int32)
+        ref = np.asarray(a8[:8].astype(np.int32)) @ np.asarray(b8[:, :128].astype(np.int32))
+        got = np.asarray(jax.device_get(f8(a8, b8)))[:8, :128]
+        assert np.array_equal(ref, got), "pallas int8 GEMM mismatch"
+        t16 = _time(f16, a16, b16)
+        t8 = _time(f8, a8, b8)
+        print(f"{name:28s} {flops / t16 / 1e12:12.1f} {flops / t8 / 1e12:12.1f}"
+              f"   (ms: {t16*1e3:.2f} / {t8*1e3:.2f})", flush=True)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    if len(sys.argv) > 1 and sys.argv[1] == "pallas":
+        main_pallas(int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
