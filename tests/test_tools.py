@@ -18,11 +18,15 @@ def test_pallas_probe_gemm_int8_exact():
     from tools.int8_matmul_probe import _pallas_mm
 
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(-127, 127, (1024, 768)), jnp.int8)
-    b = jnp.asarray(rng.integers(-127, 127, (768, 512)), jnp.int8)
-    out = _pallas_mm(a, b, jnp.int32, interpret=True)
-    ref = np.asarray(a, np.int32) @ np.asarray(b, np.int32)
-    np.testing.assert_array_equal(np.asarray(out), ref)
+    # Include a block-non-divisible N (2304 % 512 != 0): a truncating grid
+    # would leave the ragged column tail uncomputed and inflate the probe's
+    # reported TOP/s (caught live in round 4 — the fix picks tiling blocks).
+    for m, k, n in [(1024, 768, 512), (512, 768, 2304), (512, 768, 768)]:
+        a = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
+        b = jnp.asarray(rng.integers(-127, 127, (k, n)), jnp.int8)
+        out = _pallas_mm(a, b, jnp.int32, interpret=True)
+        ref = np.asarray(a, np.int32) @ np.asarray(b, np.int32)
+        np.testing.assert_array_equal(np.asarray(out), ref)
 
 
 def test_pallas_probe_gemm_bf16():

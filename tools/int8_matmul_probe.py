@@ -82,7 +82,11 @@ def _pallas_mm(a, b, out_dtype, bm=512, bn=512, interpret=False):
 
     M, K = a.shape
     _, N = b.shape
-    bn = min(bn, N)
+    # Block dims must TILE the array exactly — a truncating grid silently
+    # skips the ragged tail and inflates the reported rate (caught by a
+    # non-divisible verify shape; tests/test_tools.py pins it).
+    bm = next(c for c in range(min(bm, M), 0, -1) if M % c == 0 and (c % 8 == 0 or c == M))
+    bn = next(c for c in range(min(bn, N), 0, -1) if N % c == 0 and (c % 128 == 0 or c == N))
 
     def kernel(a_ref, b_ref, o_ref):
         o_ref[...] = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=out_dtype)
