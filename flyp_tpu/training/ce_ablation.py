@@ -120,6 +120,24 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
         id_ce_loss_sum = 0.0
         train_loader.set_epoch(epoch)
 
+        # One-step-lagged metrics drain (same rationale as the FLYP trainer:
+        # the scalar fetch is the only per-step host sync; lagging it one
+        # step keeps the device busy while the host logs).
+        pending = None
+
+        def drain_metrics(pend):
+            nonlocal id_ce_loss_sum
+            j, m = pend
+            m = jax.device_get(m)
+            loss_val = float(m["loss"])
+            id_ce_loss_sum += loss_val
+            sink.log({"Epoch": epoch, "ID CE Loss": loss_val, "Learning Rate": float(m["learning_rate"])})
+            if j % print_every == 0:
+                logger.info(
+                    f"Train Epoch: {epoch} [{100 * j / num_batches:.0f}% {j}/{num_batches}]\t"
+                    f"ID FLYP Loss: {loss_val:.4f}"
+                )
+
         for i, batch in enumerate(train_loader):
             if cfg.test:
                 break
@@ -135,14 +153,12 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
                 {"image": np.asarray(batch["image"]), "label": np.asarray(batch["label"], np.int32)},
             )
             state, metrics = step_fn(state, assembled["image"], assembled["label"], jnp.asarray(current_texts))
-            loss_val = float(metrics["loss"])
-            id_ce_loss_sum += loss_val
-            sink.log({"Epoch": epoch, "ID CE Loss": loss_val, "Learning Rate": float(metrics["learning_rate"])})
-            if i % print_every == 0:
-                logger.info(
-                    f"Train Epoch: {epoch} [{100 * i / num_batches:.0f}% {i}/{num_batches}]\t"
-                    f"ID FLYP Loss: {loss_val:.4f}"
-                )
+            if pending is not None:
+                drain_metrics(pending)
+            pending = (i, metrics)
+
+        if pending is not None:
+            drain_metrics(pending)
 
         id_ce_loss_avg = id_ce_loss_sum / max(num_batches, 1)
         host_vars = {"params": jax.device_get(state.params)}

@@ -418,6 +418,47 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         progress_ma: dict = {}
         id_flyp_loss_sum = 0.0
 
+        # One-step-lagged metrics drain: converting the loss to a host float
+        # is the only per-step synchronization, and doing it immediately
+        # after the dispatch leaves the device idle from step-end until the
+        # host finishes the fetch + logging and enqueues the next step.
+        # Holding step i's metrics until step i+1 has been dispatched keeps
+        # one step always in flight (the fetch then overlaps device compute);
+        # the torch reference pays the bubble via per-step `.item()`
+        # (`flyp_loss.py:493-513`).  Costs: the non-finite-loss guard fires
+        # one step late (one extra wasted step, same traceback quality), and
+        # log lines trail dispatch by one step.
+        pending = None  # (step_idx, device metrics, img_ids-for-clustering)
+
+        def drain_metrics(pend):
+            nonlocal id_flyp_loss_sum
+            j, m, img_ids = pend
+            m = jax.device_get(m)  # ONE host transfer for every metric
+            loss_val = float(m["loss"])
+            if not np.isfinite(loss_val):
+                # Failure detection (SURVEY.md §5): surface divergence at the
+                # step it happens instead of training through NaNs.
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at epoch {epoch} step {j}; "
+                    f"lr={float(m['learning_rate']):.3e}"
+                )
+            id_flyp_loss_sum += loss_val
+            if img_ids is not None:
+                loss_pairs.extend(zip(img_ids.tolist(), np.asarray(m["per_item_loss"]).tolist()))
+            record = {
+                "Epoch": epoch,
+                "ID FLYP Loss": loss_val,
+                "Learning Rate": float(m["learning_rate"]),
+            }
+            if "grad_norm" in m:
+                # --log_grad_norm: the wandb.watch(log="gradients") analog
+                # (`flyp_loss.py:341`), computed in-step at no extra cost.
+                record["Gradient Norm"] = float(m["grad_norm"])
+            sink.log(record)
+            if j % print_every == 0:
+                pct = 100 * j / num_batches
+                logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {j}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
+
         for i in range(num_batches):
             if cfg.test:
                 logger.info("Skipping training process")
@@ -466,33 +507,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
             state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                # Failure detection (SURVEY.md §5): surface divergence at the
-                # step it happens instead of training through NaNs.
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at epoch {epoch} step {i}; "
-                    f"lr={float(metrics['learning_rate']):.3e}"
-                )
-            id_flyp_loss_sum += loss_val
-
-            if cfg.cluster == "loss":
-                per_item = np.asarray(metrics["per_item_loss"])
-                loss_pairs.extend(zip(np.asarray(batch["img_id"]).tolist(), per_item.tolist()))
-
-            record = {
-                "Epoch": epoch,
-                "ID FLYP Loss": loss_val,
-                "Learning Rate": float(metrics["learning_rate"]),
-            }
-            if "grad_norm" in metrics:
-                # --log_grad_norm: the wandb.watch(log="gradients") analog
-                # (`flyp_loss.py:341`), computed in-step at no extra cost.
-                record["Gradient Norm"] = float(metrics["grad_norm"])
-            sink.log(record)
-            if i % print_every == 0:
-                pct = 100 * i / num_batches
-                logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {i}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
+            if pending is not None:
+                drain_metrics(pending)  # step i is in flight; fetch of i-1 overlaps it
+            pending = (
+                i,
+                metrics,
+                np.asarray(batch["img_id"]) if cfg.cluster == "loss" else None,
+            )
 
             if cfg.ma_progress and (num_batches - i) % 100 == 0:
                 # Moving-average progress sampling every 100 batches
@@ -501,6 +522,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 _, _, _, cur_stats = progress_eval(cfg, model, _host_variables(state), last_perform, epoch, logger)
                 for guid, value in cur_stats.items():
                     progress_ma.setdefault(guid, []).append(value)
+
+        if pending is not None:
+            drain_metrics(pending)  # flush the last step's lagged metrics
 
         id_flyp_loss_avg = id_flyp_loss_sum / max(num_batches, 1)
         host_variables = _host_variables(state)

@@ -121,13 +121,18 @@ def flyp_progress_validation(
         # scope); see the process-count guard in flyp_progress_validation.
         loader = get_csv_loader(cfg, is_train=True, image_size=image_size, guidance=guid, shard_by_process=False)
         loss_sum, batches = 0.0, 0
+        pend = None  # one-step-lagged loss fetch: overlap the host sync
         for batch in loader:
             # Exact context shrinking (same as the main trainer's loader).
             tokens = shrink_context(np.asarray(batch["tokens"]))
             state, metrics = step_fn(state, jnp.asarray(batch["image"]), jnp.asarray(tokens))
-            loss_sum += float(metrics["loss"])
+            if pend is not None:
+                loss_sum += float(pend["loss"])
+            pend = metrics
             step += 1
             batches += 1
+        if pend is not None:
+            loss_sum += float(pend["loss"])
         return state, step, loss_sum / max(batches, 1)
 
     # 0. snapshot the starting point.
