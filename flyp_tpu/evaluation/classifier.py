@@ -64,19 +64,39 @@ class Classifier:
 
     def _pad(self, images: np.ndarray):
         n = images.shape[0]
-        if n == self.batch_size:
-            return images, n
-        pad = self.batch_size - n
-        images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0)
+        if n != self.batch_size:
+            pad = self.batch_size - n
+            images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0)
+        if self.model.compute_dtype == jnp.bfloat16 and images.dtype.kind == "f":
+            # encode_image casts to compute_dtype on entry (models/clip.py:56),
+            # so casting on the HOST first is numerically identical and halves
+            # the H2D bytes — the same trick the train loader applies
+            # (training/flyp.py image_dtype).
+            import ml_dtypes
+
+            images = images.astype(ml_dtypes.bfloat16)
         return images, n
+
+    def predict_logits_device(self, images: np.ndarray):
+        """Dispatch only: ``(device logits, n_valid)`` with NO host fetch.
+
+        The eval loop dispatches batch i+1 before fetching batch i's logits
+        (``np.asarray`` later), overlapping the device->host transfer and the
+        host-side metric work with device compute — the same one-step lag the
+        train loops use (docs/BENCHMARKS.md round 4)."""
+        padded, n = self._pad(np.asarray(images))
+        return self._logits_fn(self.variables, self.head, jnp.asarray(padded)), n
 
     def predict_logits(self, images: np.ndarray) -> np.ndarray:
         """[n<=batch_size, H, W, C] host array -> [n, num_classes] logits."""
-        padded, n = self._pad(np.asarray(images))
-        out = self._logits_fn(self.variables, self.head, jnp.asarray(padded))
+        out, n = self.predict_logits_device(images)
         return np.asarray(out)[:n]
 
-    def features(self, images: np.ndarray) -> np.ndarray:
+    def features_device(self, images: np.ndarray):
+        """Dispatch-only twin of :meth:`features` (see predict_logits_device)."""
         padded, n = self._pad(np.asarray(images))
-        out = self._feats_fn(self.variables, jnp.asarray(padded))
+        return self._feats_fn(self.variables, jnp.asarray(padded)), n
+
+    def features(self, images: np.ndarray) -> np.ndarray:
+        out, n = self.features_device(images)
         return np.asarray(out)[:n]

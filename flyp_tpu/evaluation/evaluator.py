@@ -55,10 +55,12 @@ def eval_single_dataset(
     correct, n = 0.0, 0
     has_custom_acc = hasattr(dataset, "accuracy")
 
-    for batch in loader:
-        images = batch["image"]
+    def _process(dev_logits, n_valid, batch):
+        nonlocal correct, n
         labels = np.asarray(batch.get("label"))
-        logits = classifier.predict_logits(images)
+        logits = np.asarray(dev_logits)  # host fetch happens HERE
+        if n_valid is not None:
+            logits = logits[:n_valid]
 
         project_logits = getattr(dataset, "project_logits", None)
         if project_logits is not None:
@@ -95,6 +97,23 @@ def eval_single_dataset(
             meta = batch.get("metadata", batch.get("path"))
             if meta is not None:
                 all_metadata.extend(list(meta))
+
+    # One-batch-lagged pipeline: dispatch batch i+1's forward before
+    # fetching batch i's logits, so the device->host transfer and the
+    # host-side metric work overlap device compute (same shape as the
+    # train loops' lagged metrics drain).
+    dispatch = getattr(classifier, "predict_logits_device", None)
+    if dispatch is None:  # duck-typed classifier (tests, custom wrappers)
+        dispatch = lambda images: (classifier.predict_logits(images), None)  # noqa: E731
+
+    pend = None
+    for batch in loader:
+        dev_logits, n_valid = dispatch(batch["image"])
+        if pend is not None:
+            _process(*pend)
+        pend = (dev_logits, n_valid, batch)
+    if pend is not None:
+        _process(*pend)
 
     results: Dict = {}
     if collects:

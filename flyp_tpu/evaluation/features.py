@@ -31,11 +31,20 @@ def _cache_path(cache_dir: str, dataset, split: str) -> str:
 def extract_loader_features(classifier, loader, with_paths: bool = False) -> Dict[str, np.ndarray]:
     """One encode pass over a loader: {'features', 'labels'[, 'paths']}."""
     feats, labels, paths = [], [], []
+    dispatch = getattr(classifier, "features_device", None)
+    if dispatch is None:  # duck-typed classifier (tests, custom wrappers)
+        dispatch = lambda images: (classifier.features(images), None)  # noqa: E731
+    pend = None  # one-batch lag: overlap the feature fetch with the next encode
     for batch in loader:
-        feats.append(classifier.features(batch["image"]))
+        dev, nv = dispatch(batch["image"])
+        if pend is not None:
+            feats.append(np.asarray(pend[0])[: pend[1]] if pend[1] is not None else np.asarray(pend[0]))
+        pend = (dev, nv)
         labels.append(np.asarray(batch["label"]))
         if with_paths and "path" in batch:
             paths.extend(list(batch["path"]))
+    if pend is not None:
+        feats.append(np.asarray(pend[0])[: pend[1]] if pend[1] is not None else np.asarray(pend[0]))
     out = {"features": np.concatenate(feats), "labels": np.concatenate(labels)}
     if paths:
         out["paths"] = np.asarray(paths)

@@ -125,7 +125,12 @@ def flyp_progress_validation(
         for batch in loader:
             # Exact context shrinking (same as the main trainer's loader).
             tokens = shrink_context(np.asarray(batch["tokens"]))
-            state, metrics = step_fn(state, jnp.asarray(batch["image"]), jnp.asarray(tokens))
+            images = np.asarray(batch["image"])
+            if model.compute_dtype == jnp.bfloat16 and images.dtype.kind == "f":
+                import ml_dtypes
+
+                images = images.astype(ml_dtypes.bfloat16)  # halve H2D bytes; model casts anyway
+            state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(tokens))
             if pend is not None:
                 loss_sum += float(pend["loss"])
             pend = metrics
