@@ -34,17 +34,22 @@ def extract_loader_features(classifier, loader, with_paths: bool = False) -> Dic
     dispatch = getattr(classifier, "features_device", None)
     if dispatch is None:  # duck-typed classifier (tests, custom wrappers)
         dispatch = lambda images: (classifier.features(images), None)  # noqa: E731
+
+    def fetch(pend):
+        arr = np.asarray(pend[0])
+        return arr if pend[1] is None else arr[: pend[1]]
+
     pend = None  # one-batch lag: overlap the feature fetch with the next encode
     for batch in loader:
-        dev, nv = dispatch(batch["image"])
+        dev_nv = dispatch(batch["image"])
         if pend is not None:
-            feats.append(np.asarray(pend[0])[: pend[1]] if pend[1] is not None else np.asarray(pend[0]))
-        pend = (dev, nv)
+            feats.append(fetch(pend))
+        pend = dev_nv
         labels.append(np.asarray(batch["label"]))
         if with_paths and "path" in batch:
             paths.extend(list(batch["path"]))
     if pend is not None:
-        feats.append(np.asarray(pend[0])[: pend[1]] if pend[1] is not None else np.asarray(pend[0]))
+        feats.append(fetch(pend))
     out = {"features": np.concatenate(feats), "labels": np.concatenate(labels)}
     if paths:
         out["paths"] = np.asarray(paths)
