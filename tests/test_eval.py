@@ -241,3 +241,52 @@ def test_zeroshot_token_cache_lru_evicts_one(monkeypatch):
     zs._tokenize_cached(("a photo of a thing 2",))  # evicted -> miss
     assert calls["n"] == 19
     zs._tokenize_tuple.cache_clear()
+
+
+def test_pipelined_eval_matches_sync_loop(folder_corpus):
+    """The one-batch-lagged eval pipeline (predict_logits_device + lagged
+    _process) must produce exactly the metrics of a synchronous
+    predict-then-process loop — same top1 and per-class tallies."""
+    model, variables = tiny_model()
+    head = ClassificationHead.create(jnp.ones((3, 32), jnp.float32))
+    clf = Classifier(model, variables, head, batch_size=8)
+    ds = ToyDataset(None, location=folder_corpus, batch_size=8)
+
+    class _Cfg:
+        self_data = False
+
+    result = eval_single_dataset(clf, ds, _Cfg())
+
+    # Reference loop: strictly synchronous, same classifier + loader order.
+    correct, n, per_class = 0.0, 0, {}
+    for batch in ds.test_loader:
+        labels = np.asarray(batch["label"])
+        logits = clf.predict_logits(batch["image"])
+        preds = logits.argmax(axis=1)
+        correct += float((preds == labels).sum())
+        n += labels.shape[0]
+        for p, l in zip(preds, labels):
+            rec = per_class.setdefault(int(l), [0, 0])
+            rec[0] += int(p == l)
+            rec[1] += 1
+
+    assert result["top1"] == pytest.approx(correct / n)
+    assert result["class_top1"] == per_class
+
+
+def test_classifier_bf16_host_cast():
+    """When the model computes in bf16, Classifier uploads bf16 images
+    (halving H2D bytes); fp32-compute models keep fp32 uploads."""
+    import ml_dtypes
+
+    model, variables = tiny_model()
+    head = ClassificationHead.create(jnp.ones((3, 32), jnp.float32))
+    clf32 = Classifier(model, variables, head, batch_size=4)
+    imgs = np.zeros((3, 32, 32, 3), np.float32)
+    padded, n = clf32._pad(imgs)
+    assert padded.dtype == np.float32 and n == 3 and padded.shape[0] == 4
+
+    model16 = CLIPModel(model.config, compute_dtype=jnp.bfloat16)
+    clf16 = Classifier(model16, variables, head, batch_size=4)
+    padded16, _ = clf16._pad(imgs)
+    assert padded16.dtype == ml_dtypes.bfloat16

@@ -73,3 +73,27 @@ def test_bench_ab_bakes_distinct_impls(monkeypatch, capsys):
     assert os.environ.get(_IMPL_ENV) == "xla"
     assert _default_impl() == "xla"
     _default_impl.cache_clear()
+
+
+def test_loop_sync_ab_smoke(monkeypatch, capsys):
+    """The trainer-loop sync A/B runs both loop shapes and reports a ratio."""
+    import flyp_tpu.models as models
+    from __graft_entry__ import _tiny_config
+    from tools.loop_sync_ab import main
+
+    monkeypatch.setitem(models.MODEL_CONFIGS, "TINY-LOOP", _tiny_config())
+    main(4, "TINY-LOOP")
+    out = capsys.readouterr().out
+    assert "sync/lagged" in out
+
+
+def test_eval_sync_ab_smoke(monkeypatch, capsys):
+    """The eval-loop sync A/B runs both loop shapes and reports a ratio."""
+    import flyp_tpu.models as models
+    from __graft_entry__ import _tiny_config
+    from tools.eval_sync_ab import main
+
+    monkeypatch.setitem(models.MODEL_CONFIGS, "TINY-EVAL", _tiny_config())
+    main("TINY-EVAL", 4, classes=7)
+    out = capsys.readouterr().out
+    assert "sync/lagged" in out
