@@ -196,16 +196,20 @@ def parse_spec(spec: str):
     """``MODEL[+remat][:field=value,...]`` -> (model_name, remat, overrides).
 
     Override fields resolve against VisionConfig first, then CLIPConfig
-    (e.g. ``RN50:stem_impl=s2d``).  Values parse as int when possible,
-    else stay strings."""
+    (e.g. ``RN50:stem_impl=s2d``).  Values parse as int, then float, else
+    stay strings."""
     overrides = {}
     if ":" in spec:
         spec, kvs = spec.split(":", 1)
         for kv in kvs.split(","):
             k, v = kv.split("=")
-            try:
-                overrides[k] = int(v)
-            except ValueError:
+            for cast in (int, float):
+                try:
+                    overrides[k] = cast(v)
+                    break
+                except ValueError:
+                    continue
+            else:
                 overrides[k] = v
     remat = spec.endswith("+remat")
     model_name = spec[: -len("+remat")] if remat else spec

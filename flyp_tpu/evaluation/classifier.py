@@ -15,6 +15,7 @@ import numpy as np
 
 from flyp_tpu.models.clip import CLIPModel
 from flyp_tpu.models.head import ClassificationHead
+from flyp_tpu.utils.pipeline import host_cast_images
 
 
 import functools
@@ -63,18 +64,12 @@ class Classifier:
         return Classifier(self.model, self.variables, head, self.batch_size, self.normalize_features)
 
     def _pad(self, images: np.ndarray):
+        # Cast BEFORE padding so the ragged-tail concat copies half the bytes.
+        images = host_cast_images(images, self.model.compute_dtype)
         n = images.shape[0]
         if n != self.batch_size:
             pad = self.batch_size - n
             images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0)
-        if self.model.compute_dtype == jnp.bfloat16 and images.dtype.kind == "f":
-            # encode_image casts to compute_dtype on entry (models/clip.py:56),
-            # so casting on the HOST first is numerically identical and halves
-            # the H2D bytes — the same trick the train loader applies
-            # (training/flyp.py image_dtype).
-            import ml_dtypes
-
-            images = images.astype(ml_dtypes.bfloat16)
         return images, n
 
     def predict_logits_device(self, images: np.ndarray):

@@ -23,6 +23,7 @@ import numpy as np
 
 from flyp_tpu.evaluation import metrics as M
 from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.utils.pipeline import OneStepLag
 
 
 def _log(logger, msg):
@@ -106,14 +107,15 @@ def eval_single_dataset(
     if dispatch is None:  # duck-typed classifier (tests, custom wrappers)
         dispatch = lambda images: (classifier.predict_logits(images), None)  # noqa: E731
 
-    pend = None
+    lag = OneStepLag()
     for batch in loader:
         dev_logits, n_valid = dispatch(batch["image"])
-        if pend is not None:
-            _process(*pend)
-        pend = (dev_logits, n_valid, batch)
-    if pend is not None:
-        _process(*pend)
+        prev = lag.push((dev_logits, n_valid, batch))
+        if prev is not None:
+            _process(*prev)
+    prev = lag.flush()
+    if prev is not None:
+        _process(*prev)
 
     results: Dict = {}
     if collects:

@@ -22,6 +22,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from flyp_tpu.parallel import multihost
+from flyp_tpu.utils.pipeline import OneStepLag
 
 
 def _cache_path(cache_dir: str, dataset, split: str) -> str:
@@ -39,17 +40,17 @@ def extract_loader_features(classifier, loader, with_paths: bool = False) -> Dic
         arr = np.asarray(pend[0])
         return arr if pend[1] is None else arr[: pend[1]]
 
-    pend = None  # one-batch lag: overlap the feature fetch with the next encode
+    lag = OneStepLag()  # one-batch lag: overlap the feature fetch with the next encode
     for batch in loader:
-        dev_nv = dispatch(batch["image"])
-        if pend is not None:
-            feats.append(fetch(pend))
-        pend = dev_nv
+        prev = lag.push(dispatch(batch["image"]))
+        if prev is not None:
+            feats.append(fetch(prev))
         labels.append(np.asarray(batch["label"]))
         if with_paths and "path" in batch:
             paths.extend(list(batch["path"]))
-    if pend is not None:
-        feats.append(fetch(pend))
+    prev = lag.flush()
+    if prev is not None:
+        feats.append(fetch(prev))
     out = {"features": np.concatenate(feats), "labels": np.concatenate(labels)}
     if paths:
         out["paths"] = np.asarray(paths)

@@ -65,9 +65,12 @@ _LIGATURES = {
 }
 
 _LINE_BREAKS = {
+    # NB: no "\x85" (NEL) entry \u2014 _fix_c1_controls runs first (ftfy's fix
+    # order) and maps every C1 control through cp1252, so 0x85 becomes "\u2026"
+    # before line-break translation could ever see it.
     "\r\n": "\n", "\r": "\n",
     "\u2028": "\n", "\u2029": "\n",
-    "\x85": "\n", "\v": "\n", "\f": "\n",
+    "\v": "\n", "\f": "\n",
 }
 
 # ftfy's CONTROL_CHARS table: C0 controls except \t \n \f \r, DEL, interlinear

@@ -28,6 +28,7 @@ from flyp_tpu.templates import get_template
 from flyp_tpu.tokenizer import tokenize
 from flyp_tpu.training.flyp import _avg_ood_acc, build_zeroshot_head
 from flyp_tpu.training.schedules import make_scheduler
+from flyp_tpu.utils.pipeline import OneStepLag
 from flyp_tpu.training.train_state import TrainState, create_train_state, make_optimizer
 from flyp_tpu.utils.checkpoint import save_checkpoint
 from flyp_tpu.utils.metrics_sink import MetricsSink
@@ -123,7 +124,7 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
         # One-step-lagged metrics drain (same rationale as the FLYP trainer:
         # the scalar fetch is the only per-step host sync; lagging it one
         # step keeps the device busy while the host logs).
-        pending = None
+        lag = OneStepLag()
 
         def drain_metrics(pend):
             nonlocal id_ce_loss_sum
@@ -153,12 +154,13 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
                 {"image": np.asarray(batch["image"]), "label": np.asarray(batch["label"], np.int32)},
             )
             state, metrics = step_fn(state, assembled["image"], assembled["label"], jnp.asarray(current_texts))
-            if pending is not None:
-                drain_metrics(pending)
-            pending = (i, metrics)
+            prev = lag.push((i, metrics))
+            if prev is not None:
+                drain_metrics(prev)
 
-        if pending is not None:
-            drain_metrics(pending)
+        prev = lag.flush()
+        if prev is not None:
+            drain_metrics(prev)
 
         id_ce_loss_avg = id_ce_loss_sum / max(num_batches, 1)
         host_vars = {"params": jax.device_get(state.params)}

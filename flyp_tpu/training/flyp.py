@@ -38,6 +38,7 @@ from flyp_tpu.training.curriculum import (
     seq_curri_guid,
 )
 from flyp_tpu.training.schedules import make_scheduler
+from flyp_tpu.utils.pipeline import OneStepLag
 from flyp_tpu.training.train_state import create_train_state, make_optimizer
 from flyp_tpu.training.train_step import make_train_step
 from flyp_tpu.utils.checkpoint import CurriculumCursor, save_checkpoint
@@ -428,7 +429,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # (`flyp_loss.py:493-513`).  Costs: the non-finite-loss guard fires
         # one step late (one extra wasted step, same traceback quality), and
         # log lines trail dispatch by one step.
-        pending = None  # (step_idx, device metrics, img_ids-for-clustering)
+        lag = OneStepLag()  # holds (step_idx, device metrics, img_ids-for-clustering)
 
         def drain_metrics(pend):
             nonlocal id_flyp_loss_sum
@@ -507,13 +508,11 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
             state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
-            if pending is not None:
-                drain_metrics(pending)  # step i is in flight; fetch of i-1 overlaps it
-            pending = (
-                i,
-                metrics,
-                np.asarray(batch["img_id"]) if cfg.cluster == "loss" else None,
+            prev = lag.push(
+                (i, metrics, np.asarray(batch["img_id"]) if cfg.cluster == "loss" else None)
             )
+            if prev is not None:
+                drain_metrics(prev)  # step i is in flight; fetch of i-1 overlaps it
 
             if cfg.ma_progress and (num_batches - i) % 100 == 0:
                 # Moving-average progress sampling every 100 batches
@@ -523,8 +522,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 for guid, value in cur_stats.items():
                     progress_ma.setdefault(guid, []).append(value)
 
-        if pending is not None:
-            drain_metrics(pending)  # flush the last step's lagged metrics
+        prev = lag.flush()
+        if prev is not None:
+            drain_metrics(prev)  # flush the last step's lagged metrics
 
         id_flyp_loss_avg = id_flyp_loss_sum / max(num_batches, 1)
         host_variables = _host_variables(state)

@@ -24,6 +24,7 @@ import pandas as pd
 
 from flyp_tpu.data.csv_data import get_csv_loader
 from flyp_tpu.evaluation.classifier import Classifier
+from flyp_tpu.utils.pipeline import OneStepLag, host_cast_images
 from flyp_tpu.evaluation.evaluator import evaluate
 from flyp_tpu.models.factory import build_clip_model
 from flyp_tpu.training.flyp import _avg_ood_acc, build_zeroshot_head, progress_eval
@@ -121,23 +122,20 @@ def flyp_progress_validation(
         # scope); see the process-count guard in flyp_progress_validation.
         loader = get_csv_loader(cfg, is_train=True, image_size=image_size, guidance=guid, shard_by_process=False)
         loss_sum, batches = 0.0, 0
-        pend = None  # one-step-lagged loss fetch: overlap the host sync
+        lag = OneStepLag()  # one-step-lagged loss fetch: overlap the host sync
         for batch in loader:
             # Exact context shrinking (same as the main trainer's loader).
             tokens = shrink_context(np.asarray(batch["tokens"]))
-            images = np.asarray(batch["image"])
-            if model.compute_dtype == jnp.bfloat16 and images.dtype.kind == "f":
-                import ml_dtypes
-
-                images = images.astype(ml_dtypes.bfloat16)  # halve H2D bytes; model casts anyway
+            images = host_cast_images(batch["image"], model.compute_dtype)  # halve H2D bytes
             state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(tokens))
-            if pend is not None:
-                loss_sum += float(pend["loss"])
-            pend = metrics
+            prev = lag.push(metrics)
+            if prev is not None:
+                loss_sum += float(prev["loss"])
             step += 1
             batches += 1
-        if pend is not None:
-            loss_sum += float(pend["loss"])
+        prev = lag.flush()
+        if prev is not None:
+            loss_sum += float(prev["loss"])
         return state, step, loss_sum / max(batches, 1)
 
     # 0. snapshot the starting point.

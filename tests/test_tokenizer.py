@@ -113,6 +113,21 @@ def test_ftfy_golden_fixtures():
         assert tok.encode(raw) == ids, raw
 
 
+def test_ftfy_golden_fixtures_fallback(monkeypatch):
+    """The goldens must hold on the dependency-free FALLBACK cleaner too.
+
+    ftfy is a declared dependency, so in an installed environment
+    test_ftfy_golden_fixtures exercises real ftfy and would let a fallback
+    regression pass silently; this leg forces the fallback path (the one a
+    ftfy-less deploy and this CI container actually run)."""
+    from flyp_tpu.tokenizer import cleaning
+
+    monkeypatch.setattr(cleaning, "HAVE_FTFY", False)
+    tok = get_tokenizer()
+    for raw, ids in FTFY_GOLDEN:
+        assert tok.encode(raw) == ids, raw
+
+
 def test_cleaning_idempotent():
     # The full cleaning stage (fix_text + double html.unescape + whitespace
     # collapse, as the reference composes it) is a fixed point on its own

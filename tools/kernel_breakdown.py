@@ -49,6 +49,12 @@ def main(batch=256, model_name="ViT-B/16"):
     interpret = not on_tpu
     rng = np.random.default_rng(0)
     rows = []
+    if model_name not in SHAPES:
+        raise SystemExit(
+            f"kernel_breakdown: no per-block shape table for {model_name!r}; "
+            f"supported: {sorted(SHAPES)} (transformer towers only — ResNet "
+            f"families have their own tools/rn50_breakdown.py)"
+        )
     (vL, vD, vH, vlayers), (tL, tD, tH, tlayers) = SHAPES[model_name]
 
     for name, L, D, H, layers in (("vision", vL, vD, vH, vlayers), ("text", tL, tD, tH, tlayers)):
