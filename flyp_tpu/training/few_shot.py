@@ -147,7 +147,9 @@ def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float
 
     from flyp_tpu.tokenizer import shrink_context
 
-    images_j = jnp.asarray(ft_image)
+    from flyp_tpu.utils.pipeline import host_cast_images
+
+    images_j = jnp.asarray(host_cast_images(ft_image, model.compute_dtype))
     # Exact context shrinking (causal tower + EOT pooling), same as the
     # main trainer's loader path.
     tokens_j = jnp.asarray(shrink_context(np.asarray(ft_text)))
