@@ -1,4 +1,4 @@
-"""Checkpoint conversion: torch CLIP state dicts -> flyp_tpu param pytrees.
+"""Checkpoint conversion: torch CLIP state dicts <-> flyp_tpu param pytrees.
 
 Understands the key layout shared by OpenAI CLIP (`/root/reference/clip/
 model.py:405-443` sniffs shapes from it) and open_clip checkpoints.  Works on
@@ -195,3 +195,104 @@ def convert_clip_state_dict(
         "logit_scale": state["logit_scale"].reshape(()),
     }
     return params, batch_stats, config
+
+
+# --- reverse conversion: flyp_tpu pytrees -> torch CLIP state dicts --------
+
+
+def _export_block(block: Dict[str, Any], prefix: str, out: Dict[str, np.ndarray]) -> None:
+    D = np.asarray(block["attn"]["qkv_kernel"]).shape[1]
+    out[f"{prefix}.ln_1.weight"] = _np(block["ln_1"]["scale"])
+    out[f"{prefix}.ln_1.bias"] = _np(block["ln_1"]["bias"])
+    out[f"{prefix}.ln_2.weight"] = _np(block["ln_2"]["scale"])
+    out[f"{prefix}.ln_2.bias"] = _np(block["ln_2"]["bias"])
+    out[f"{prefix}.attn.in_proj_weight"] = _np(block["attn"]["qkv_kernel"]).transpose(0, 2, 1).reshape(3 * D, D)
+    out[f"{prefix}.attn.in_proj_bias"] = _np(block["attn"]["qkv_bias"]).reshape(3 * D)
+    out[f"{prefix}.attn.out_proj.weight"] = _np(block["attn"]["out_kernel"]).T
+    out[f"{prefix}.attn.out_proj.bias"] = _np(block["attn"]["out_bias"])
+    out[f"{prefix}.mlp.c_fc.weight"] = _np(block["mlp"]["fc_kernel"]).T
+    out[f"{prefix}.mlp.c_fc.bias"] = _np(block["mlp"]["fc_bias"])
+    out[f"{prefix}.mlp.c_proj.weight"] = _np(block["mlp"]["proj_kernel"]).T
+    out[f"{prefix}.mlp.c_proj.bias"] = _np(block["mlp"]["proj_bias"])
+
+
+def _export_bn(params: Dict, stats: Dict, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.weight"] = _np(params["scale"])
+    out[f"{prefix}.bias"] = _np(params["bias"])
+    out[f"{prefix}.running_mean"] = _np(stats["mean"])
+    out[f"{prefix}.running_var"] = _np(stats["var"])
+    # torch BatchNorm2d state dicts carry this counter; strict load needs it.
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def export_clip_state_dict(
+    params: Dict[str, Any], batch_stats: Optional[Dict[str, Any]] = None, config: Optional[CLIPConfig] = None
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_clip_state_dict`: a flyp_tpu param pytree
+    (+ ``batch_stats`` for ResNet towers) -> the torch key/shape layout the
+    OpenAI reference loads with ``build_model(state_dict)``
+    (`/root/reference/clip/model.py:405-443`, strict ``load_state_dict``).
+
+    Lets fine-tuned checkpoints flow BACK to the torch ecosystem; round-trip
+    (export -> convert) is bit-exact (tests/test_convert_roundtrip.py).
+    Weights export as float32 (build_model re-floats params anyway).
+    """
+    out: Dict[str, np.ndarray] = {}
+    visual, text = params["visual"], params["text"]
+    is_vit = "proj" in visual
+
+    if is_vit:
+        out["visual.conv1.weight"] = _np(visual["patch_kernel"]).transpose(3, 2, 0, 1)
+        out["visual.class_embedding"] = _np(visual["class_embedding"])
+        out["visual.positional_embedding"] = _np(visual["positional_embedding"])
+        out["visual.ln_pre.weight"] = _np(visual["ln_pre"]["scale"])
+        out["visual.ln_pre.bias"] = _np(visual["ln_pre"]["bias"])
+        out["visual.ln_post.weight"] = _np(visual["ln_post"]["scale"])
+        out["visual.ln_post.bias"] = _np(visual["ln_post"]["bias"])
+        out["visual.proj"] = _np(visual["proj"])
+        for name, block in visual["transformer"].items():
+            i = int(name.split("_")[1])
+            _export_block(block, f"visual.transformer.resblocks.{i}", out)
+    else:
+        stats = (batch_stats or {}).get("visual", {})
+        for i in (1, 2, 3):
+            out[f"visual.conv{i}.weight"] = _np(visual[f"conv{i}"]["kernel"]).transpose(3, 2, 0, 1)
+            _export_bn(visual[f"bn{i}"], stats[f"bn{i}"], f"visual.bn{i}", out)
+        for name in visual:
+            if not name.startswith("layer"):
+                continue
+            stage_b = name[len("layer"):]
+            stage, b = stage_b.split("_")
+            tp = f"visual.layer{stage}.{b}"
+            blk, blk_s = visual[name], stats[name]
+            for i in (1, 2, 3):
+                out[f"{tp}.conv{i}.weight"] = _np(blk[f"conv{i}"]["kernel"]).transpose(3, 2, 0, 1)
+                _export_bn(blk[f"bn{i}"], blk_s[f"bn{i}"], f"{tp}.bn{i}", out)
+            if "downsample_conv" in blk:
+                out[f"{tp}.downsample.0.weight"] = _np(blk["downsample_conv"]["kernel"]).transpose(3, 2, 0, 1)
+                _export_bn(blk["downsample_bn"], blk_s["downsample_bn"], f"{tp}.downsample.1", out)
+        ap = visual["attnpool"]
+        out["visual.attnpool.positional_embedding"] = _np(ap["positional_embedding"])
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            out[f"visual.attnpool.{proj}.weight"] = _np(ap[proj]["kernel"]).T
+            out[f"visual.attnpool.{proj}.bias"] = _np(ap[proj]["bias"])
+
+    out["token_embedding.weight"] = _np(text["token_embedding"])
+    out["positional_embedding"] = _np(text["positional_embedding"])
+    out["ln_final.weight"] = _np(text["ln_final"]["scale"])
+    out["ln_final.bias"] = _np(text["ln_final"]["bias"])
+    out["text_projection"] = _np(text["text_projection"])
+    for name, block in text["transformer"].items():
+        i = int(name.split("_")[1])
+        _export_block(block, f"transformer.resblocks.{i}", out)
+    out["logit_scale"] = _np(params["logit_scale"]).reshape(())
+    return out
+
+
+def save_torch_checkpoint(path: str, state: Dict[str, np.ndarray]) -> None:
+    """Write an exported state dict as a ``.pt`` file torch can load
+    (plain state dict — the reference's non-JIT load path,
+    `/root/reference/clip/clip.py:129-136`)."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}, path)
