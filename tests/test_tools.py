@@ -97,3 +97,25 @@ def test_eval_sync_ab_smoke(monkeypatch, capsys):
     main("TINY-EVAL", 4, classes=7)
     out = capsys.readouterr().out
     assert "sync/lagged" in out
+
+
+def test_one_step_lag_contract():
+    """OneStepLag: push returns the previous item (None first), flush drains."""
+    from flyp_tpu.utils.pipeline import OneStepLag, host_cast_images
+
+    lag = OneStepLag()
+    assert lag.push(1) is None
+    assert lag.push(2) == 1
+    assert lag.push(3) == 2
+    assert lag.flush() == 3
+    assert lag.flush() is None
+    assert lag.push("a") is None  # reusable after flush
+
+    # host_cast_images: bf16 only for float inputs under bf16 compute.
+    import ml_dtypes
+
+    f32 = np.zeros((2, 4, 4, 3), np.float32)
+    u8 = np.zeros((2, 4, 4, 3), np.uint8)
+    assert host_cast_images(f32, jnp.bfloat16).dtype == ml_dtypes.bfloat16
+    assert host_cast_images(f32, jnp.float32).dtype == np.float32
+    assert host_cast_images(u8, jnp.bfloat16).dtype == np.uint8
