@@ -41,7 +41,7 @@ from flyp_tpu.training.schedules import make_scheduler
 from flyp_tpu.utils.pipeline import OneStepLag
 from flyp_tpu.training.train_state import create_train_state, make_optimizer
 from flyp_tpu.training.train_step import make_train_step
-from flyp_tpu.utils.checkpoint import CurriculumCursor, save_checkpoint
+from flyp_tpu.utils.checkpoint import CurriculumCursor, save_checkpoint, wait_for_saves
 from flyp_tpu.utils.logging import get_logger
 from flyp_tpu.utils.metrics_sink import MetricsSink
 
@@ -538,7 +538,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             if primary:
                 os.makedirs(cfg.save, exist_ok=True)
                 cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
-                save_checkpoint(model_path, ckpt_state, cursor)
+                # Async: the commit overlaps the eval suites below; both
+                # return sites wait_for_saves() so nothing outlives the run.
+                save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
                 logger.info("Saving model to " + str(model_path))
 
         # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------
@@ -557,6 +559,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 new_pairs = [[p[0], p[1], int(l)] for p, l in zip(loss_pairs, km.labels_)]
                 with open(os.path.join(log_dir, f"group_guid{epoch}.pkl"), "wb") as f:
                     pickle.dump(new_pairs, f)
+            wait_for_saves()
             return model_path  # upstream exits here (`flyp_loss.py:579`)
 
         # -- per-guidance progress dump (`flyp_loss.py:582-597`) --------------
@@ -599,4 +602,5 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         sink.log(epoch_stats)
 
     sink.close()
+    wait_for_saves()
     return model_path

@@ -45,8 +45,40 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state, cursor: Optional[CurriculumCursor] = None) -> str:
-    """Save a TrainState (+cursor) to ``path`` (an absolute directory)."""
+_async_ckpt = None  # module singleton: owns the background commit thread
+
+
+def _async_checkpointer():
+    global _async_ckpt
+    if _async_ckpt is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckpt
+
+
+def wait_for_saves() -> None:
+    """Block until every async checkpoint commit has landed on disk.
+
+    Call before process exit / before restoring a just-written path; orbax
+    writes are atomic (tmp dir + rename on commit), so an interrupted async
+    save never leaves a half-visible checkpoint."""
+    if _async_ckpt is not None:
+        _async_ckpt.wait_until_finished()
+
+
+def save_checkpoint(
+    path: str, state, cursor: Optional[CurriculumCursor] = None, async_save: bool = False
+) -> str:
+    """Save a TrainState (+cursor) to ``path`` (an absolute directory).
+
+    ``async_save=True`` returns as soon as the host-side payload is staged
+    and commits the write on a background thread — the trainer's per-epoch
+    save then overlaps the eval suites that follow instead of stalling the
+    epoch loop (the reference's torch.save blocks, `flyp_loss.py:545-552`).
+    Single-process only: orbax's async path coordinates across processes,
+    and this framework's single-writer rule means only process 0 calls save
+    — so multi-host runs fall back to the synchronous write."""
     path = os.path.abspath(path)
     payload = {
         "step": state.step,
@@ -55,13 +87,19 @@ def save_checkpoint(path: str, state, cursor: Optional[CurriculumCursor] = None)
         "batch_stats": state.batch_stats if state.batch_stats is not None else {},
         "cursor": (cursor or CurriculumCursor()).to_dict(),
     }
+    # np.asarray fetches device arrays to host HERE, so the background write
+    # never races the training loop's donated device buffers.
     payload = jax.tree_util.tree_map(np.asarray, payload, is_leaf=lambda x: x is None)
-    _checkpointer().save(path, payload, force=True)
+    if async_save and jax.process_count() == 1:
+        _async_checkpointer().save(path, payload, force=True)
+    else:
+        _checkpointer().save(path, payload, force=True)
     return path
 
 
 def restore_checkpoint(path: str, state) -> Tuple[Any, CurriculumCursor]:
     """Restore into the structure of ``state``; returns (state, cursor)."""
+    wait_for_saves()  # a just-async-written path must be committed first
     path = os.path.abspath(path)
     template = {
         "step": state.step,

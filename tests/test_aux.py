@@ -167,3 +167,24 @@ def test_metrics_sink_wandb_mirror(tmp_path, monkeypatch):
     dbg.log({"step": 1})
     dbg.close()
     assert not calls["init"] and not calls["log"] and calls["finish"] == 1
+
+
+def test_async_checkpoint_save_restore(tmp_path):
+    """async_save commits on a background thread; after wait_for_saves (or
+    the implicit wait in restore_checkpoint) the checkpoint restores
+    bit-exactly, and orbax's tmp+rename keeps it atomic."""
+    import optax
+
+    from flyp_tpu.training.train_state import create_train_state
+    from flyp_tpu.utils import checkpoint as ckpt
+
+    params = {"w": np.arange(12, dtype=np.float32).reshape(3, 4), "b": np.zeros(4, np.float32)}
+    state = create_train_state(params, optax.sgd(1e-2))
+    path = str(tmp_path / "async_ckpt")
+    ckpt.save_checkpoint(path, state, ckpt.CurriculumCursor(epoch=3), async_save=True)
+    ckpt.wait_for_saves()
+
+    template = create_train_state(jax.tree_util.tree_map(np.zeros_like, params), optax.sgd(1e-2))
+    restored, cursor = ckpt.restore_checkpoint(path, template)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), params["w"])
+    assert cursor.epoch == 3
