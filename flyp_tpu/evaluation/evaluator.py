@@ -23,7 +23,7 @@ import numpy as np
 
 from flyp_tpu.evaluation import metrics as M
 from flyp_tpu.evaluation.classifier import Classifier
-from flyp_tpu.utils.pipeline import OneStepLag
+from flyp_tpu.utils.pipeline import OneStepLag, lagged_device_method
 
 
 def _log(logger, msg):
@@ -56,12 +56,12 @@ def eval_single_dataset(
     correct, n = 0.0, 0
     has_custom_acc = hasattr(dataset, "accuracy")
 
-    def _process(dev_logits, n_valid, batch):
+    dispatch, fetch = lagged_device_method(classifier, "predict_logits_device", "predict_logits")
+
+    def _process(handle, batch):
         nonlocal correct, n
         labels = np.asarray(batch.get("label"))
-        logits = np.asarray(dev_logits)  # host fetch happens HERE
-        if n_valid is not None:
-            logits = logits[:n_valid]
+        logits = fetch(handle)  # host fetch happens HERE
 
         project_logits = getattr(dataset, "project_logits", None)
         if project_logits is not None:
@@ -103,14 +103,9 @@ def eval_single_dataset(
     # fetching batch i's logits, so the device->host transfer and the
     # host-side metric work overlap device compute (same shape as the
     # train loops' lagged metrics drain).
-    dispatch = getattr(classifier, "predict_logits_device", None)
-    if dispatch is None:  # duck-typed classifier (tests, custom wrappers)
-        dispatch = lambda images: (classifier.predict_logits(images), None)  # noqa: E731
-
     lag = OneStepLag()
     for batch in loader:
-        dev_logits, n_valid = dispatch(batch["image"])
-        prev = lag.push((dev_logits, n_valid, batch))
+        prev = lag.push((dispatch(batch["image"]), batch))
         if prev is not None:
             _process(*prev)
     prev = lag.flush()

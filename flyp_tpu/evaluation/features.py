@@ -22,7 +22,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from flyp_tpu.parallel import multihost
-from flyp_tpu.utils.pipeline import OneStepLag
+from flyp_tpu.utils.pipeline import OneStepLag, lagged_device_method
 
 
 def _cache_path(cache_dir: str, dataset, split: str) -> str:
@@ -32,14 +32,7 @@ def _cache_path(cache_dir: str, dataset, split: str) -> str:
 def extract_loader_features(classifier, loader, with_paths: bool = False) -> Dict[str, np.ndarray]:
     """One encode pass over a loader: {'features', 'labels'[, 'paths']}."""
     feats, labels, paths = [], [], []
-    dispatch = getattr(classifier, "features_device", None)
-    if dispatch is None:  # duck-typed classifier (tests, custom wrappers)
-        dispatch = lambda images: (classifier.features(images), None)  # noqa: E731
-
-    def fetch(pend):
-        arr = np.asarray(pend[0])
-        return arr if pend[1] is None else arr[: pend[1]]
-
+    dispatch, fetch = lagged_device_method(classifier, "features_device", "features")
     lag = OneStepLag()  # one-batch lag: overlap the feature fetch with the next encode
     for batch in loader:
         prev = lag.push(dispatch(batch["image"]))

@@ -240,6 +240,13 @@ def export_clip_state_dict(
     out: Dict[str, np.ndarray] = {}
     visual, text = params["visual"], params["text"]
     is_vit = "proj" in visual
+    if config is not None and config.vision.is_vit != is_vit:
+        raise ValueError(
+            f"export_clip_state_dict: config says is_vit={config.vision.is_vit} "
+            f"but the param tree is a {'ViT' if is_vit else 'ResNet'} tower"
+        )
+    if not is_vit and batch_stats is None:
+        raise ValueError("export_clip_state_dict: ResNet towers need batch_stats (BN running stats)")
 
     if is_vit:
         out["visual.conv1.weight"] = _np(visual["patch_kernel"]).transpose(3, 2, 0, 1)

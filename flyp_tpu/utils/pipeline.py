@@ -40,6 +40,27 @@ class OneStepLag:
         return prev
 
 
+def lagged_device_method(obj, device_name: str, sync_name: str):
+    """(dispatch, fetch) pair for pipelining a classifier method.
+
+    ``dispatch(images)`` returns an opaque ``(device_array, n_valid)`` handle
+    (dispatch-only method when the object has one; a synchronous fallback for
+    duck-typed objects, where ``n_valid`` is None).  ``fetch(handle)`` pulls
+    the array to host and truncates padding rows.  Keeps the handle contract
+    in one place for evaluator.py and features.py."""
+    import numpy as np
+
+    dispatch = getattr(obj, device_name, None)
+    if dispatch is None:  # duck-typed object (tests, custom wrappers)
+        dispatch = lambda images: (getattr(obj, sync_name)(images), None)  # noqa: E731
+
+    def fetch(handle):
+        arr = np.asarray(handle[0])
+        return arr if handle[1] is None else arr[: handle[1]]
+
+    return dispatch, fetch
+
+
 def host_cast_images(images, compute_dtype):
     """Cast float image arrays to bfloat16 ON THE HOST when the model
     computes in bf16 — numerically identical (the towers cast inputs to

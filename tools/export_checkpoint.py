@@ -24,11 +24,9 @@ def main(ckpt_dir: str, out_path: str) -> None:
     restored = _checkpointer().restore(ckpt_dir)
     if "params" in restored:  # full TrainState checkpoint
         params = restored["params"]
-        batch_stats = restored.get("batch_stats") or None
+        batch_stats = restored.get("batch_stats") or None  # {} (ViT) -> None
     else:  # bare param tree (save_params)
         params, batch_stats = restored, None
-    if batch_stats == {}:
-        batch_stats = None
 
     state = export_clip_state_dict(params, batch_stats)
     save_torch_checkpoint(out_path, state)

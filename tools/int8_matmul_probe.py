@@ -85,8 +85,14 @@ def _pallas_mm(a, b, out_dtype, bm=512, bn=512, interpret=False):
     # Block dims must TILE the array exactly — a truncating grid silently
     # skips the ragged tail and inflates the reported rate (caught by a
     # non-divisible verify shape; tests/test_tools.py pins it).
-    bm = next(c for c in range(min(bm, M), 0, -1) if M % c == 0 and (c % 8 == 0 or c == M))
-    bn = next(c for c in range(min(bn, N), 0, -1) if N % c == 0 and (c % 128 == 0 or c == N))
+    def _tiling_block(dim, cap, align, axis):
+        c = next((c for c in range(min(cap, dim), 0, -1) if dim % c == 0 and (c % align == 0 or c == dim)), None)
+        if c is None:
+            raise ValueError(f"_pallas_mm: no {align}-aligned tiling block for {axis}={dim} (cap {cap})")
+        return c
+
+    bm = _tiling_block(M, bm, 8, "M")
+    bn = _tiling_block(N, bn, 128, "N")
 
     def kernel(a_ref, b_ref, o_ref):
         o_ref[...] = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=out_dtype)
@@ -108,15 +114,21 @@ def _pallas_mm(a, b, out_dtype, bm=512, bn=512, interpret=False):
 def main_pallas(batch=256):
     """int8 vs bf16 through a hand-written Mosaic GEMM at the best (qkv) and
     worst (out-proj) shapes from the XLA probe."""
+    interpret = jax.default_backend() == "cpu"
+    if interpret:
+        # Functional check only: interpreted GEMMs at probe scale take hours.
+        batch = min(batch, 2)
     M = batch * 208
     rng = np.random.default_rng(0)
-    interpret = jax.default_backend() == "cpu"
     print(f"{'shape':28s} {'bf16-pallas':>12s} {'int8-pallas':>12s}   (TOP/s)")
     # big-square is the ceiling probe: if 2x int8 is reachable at ALL on this
     # chip, it shows here; the serving shapes then tell how much survives.
-    for name, m, k, n in [("qkv  [M,768]x[768,2304]", M, 768, 2304),
-                          ("out  [M,768]x[768,768]", M, 768, 768),
-                          ("big  [16384,4096]x[4096,4096]", 16384, 4096, 4096)]:
+    shapes = [("qkv  [M,768]x[768,2304]", M, 768, 2304),
+              ("out  [M,768]x[768,768]", M, 768, 768),
+              ("big  [16384,4096]x[4096,4096]", 16384, 4096, 4096)]
+    if interpret:
+        shapes = shapes[:2]
+    for name, m, k, n in shapes:
         a16 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
         b16 = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
         a8 = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
