@@ -103,6 +103,11 @@ class ExperimentConfig:
     #: Log the global gradient L2 norm each step (the reference's
     #: ``wandb.watch(model, log="gradients")`` analog, `flyp_loss.py:341`).
     log_grad_norm: bool = False
+    #: GradCache microbatching: >1 splits each contrastive batch into this
+    #: many chunks with EXACT big-batch InfoNCE semantics (~4/3 the FLOPs;
+    #: use when the direct batch does not fit, e.g. ViT-L at bs512 on one
+    #: chip).  See flyp_tpu/training/grad_cache.py.
+    grad_cache_chunks: int = 1
     remat: bool = False
     log_dir: Optional[str] = None
     data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" | "native" (C++ lib) | "grain"
@@ -179,6 +184,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--adam_moment_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--log_grad_norm", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--grad_cache_chunks", type=int, default=1)
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")
     p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)

@@ -37,6 +37,7 @@ def make_train_step(
     donate: bool = True,
     log_grad_norm: bool = False,
     freeze_encoder: bool = False,
+    grad_cache_chunks: int = 1,
 ) -> Callable:
     """Build the compiled train step.
 
@@ -59,7 +60,22 @@ def make_train_step(
     histograms need module hooks torch-style, but the global norm is the
     metric people actually alert on).  It fuses into the update's existing
     elementwise pass, so the step cost is unchanged.
+
+    ``grad_cache_chunks > 1`` routes to the chunked (GradCache) step: the
+    exact same big-batch contrastive objective computed through M
+    microbatch-sized forward/backward passes, for effective batches that do
+    not fit directly (see :mod:`flyp_tpu.training.grad_cache`).
     """
+    if grad_cache_chunks > 1:
+        from flyp_tpu.training.grad_cache import make_chunked_train_step
+
+        return make_chunked_train_step(
+            model, optimizer, mesh,
+            chunks=grad_cache_chunks,
+            ignore=ignore, google_sup_loss=google_sup_loss,
+            use_ground_labels=use_ground_labels, donate=donate,
+            log_grad_norm=log_grad_norm, freeze_encoder=freeze_encoder,
+        )
 
     def train_step(state: TrainState, images, tokens, ground_labels=None):
         def loss_fn(params):

@@ -100,6 +100,17 @@ def test_flyp_train_end_to_end(corpus, tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "checkpoint_0"))
 
 
+def test_flyp_train_grad_cache(corpus, tmp_path):
+    """The trainer end-to-end with GradCache chunking: same loop, chunked
+    step (training/grad_cache.py), stats land as usual."""
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, grad_cache_chunks=2)
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+    stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
+    assert len(stats) == 1
+    assert np.isfinite(stats["Avg ID FLYP Loss"].iloc[0])
+
+
 def test_flyp_train_curriculum(corpus, tmp_path):
     model, variables = tiny_model()
     cfg = make_cfg(corpus, tmp_path, curriculum=True, epochs=1)
