@@ -46,25 +46,23 @@ def peak_flops_for(device) -> float:
     return 197.0e12
 
 
-def build_bench_step(batch_size: int, model_name: str, remat: bool, config_overrides: dict | None = None):
-    """The EXACT train step + synthetic inputs the bench times.
+def build_bench_parts(batch_size: int, model_name: str, remat: bool, config_overrides: dict | None = None):
+    """Model, optimizer, initial state and synthetic inputs for the bench.
 
-    Shared with ``tools/layout_copies.py`` so the audited HLO can never
-    drift from the benched program.  bf16 Adam moments: -1.8 ms/step
-    measured (tools/mfu_levers; fp32 math, only the stored accumulators
-    round).  The bench reports the recommended TPU training config; the
-    trainer default stays float32 for exact reference parity
-    (--adam_moment_dtype opts in).  FLYP_ADAM_MOMENT_DTYPE=float32 reverts.
-    Caption lengths (6-20 tokens) mirror prompt-templated classnames, and
-    the same exact context shrinking the trainer's loader applies runs
-    before the device transfer."""
+    bf16 Adam moments: -1.8 ms/step measured (tools/mfu_levers; fp32 math,
+    only the stored accumulators round).  The bench reports the recommended
+    TPU training config; the trainer default stays float32 for exact
+    reference parity (--adam_moment_dtype opts in).
+    FLYP_ADAM_MOMENT_DTYPE=float32 reverts.  Caption lengths (6-20 tokens)
+    mirror prompt-templated classnames, and the same exact context
+    shrinking the trainer's loader applies runs before the device
+    transfer."""
     import os
 
     from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
     from flyp_tpu.tokenizer import shrink_context
     from flyp_tpu.training.schedules import warmup_cosine_lr
     from flyp_tpu.training.train_state import create_train_state, make_optimizer
-    from flyp_tpu.training.train_step import make_train_step
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -81,7 +79,6 @@ def build_bench_step(batch_size: int, model_name: str, remat: bool, config_overr
     moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
     optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype=moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
-    step_fn = make_train_step(model, optimizer, donate=True)
 
     rng = np.random.default_rng(0)
     px = config.vision.image_size
@@ -93,6 +90,21 @@ def build_bench_step(batch_size: int, model_name: str, remat: bool, config_overr
         tokens_np[i, 1:n] = rng.integers(1, 49000, n - 1)
         tokens_np[i, n] = 49407
     tokens = jnp.asarray(shrink_context(tokens_np))
+    return model, optimizer, state, images, tokens, config
+
+
+def build_bench_step(batch_size: int, model_name: str, remat: bool, config_overrides: dict | None = None):
+    """The EXACT train step + synthetic inputs the bench times.
+
+    Shared with ``tools/layout_copies.py`` so the audited HLO can never
+    drift from the benched program; ``tools/grad_cache_bench.py`` swaps
+    only the jit via :func:`build_bench_parts`."""
+    from flyp_tpu.training.train_step import make_train_step
+
+    model, optimizer, state, images, tokens, config = build_bench_parts(
+        batch_size, model_name, remat, config_overrides
+    )
+    step_fn = make_train_step(model, optimizer, donate=True)
     return step_fn, state, images, tokens, config
 
 

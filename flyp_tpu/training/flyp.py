@@ -314,6 +314,19 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     use_tp = cfg.mesh_model > 1
+
+    def build_step(optimizer):
+        # TP and FSDP states carry their own shardings — the jit must infer
+        # from its inputs (mesh=None); passing the mesh would pin replicated
+        # in_shardings and silently undo the ZeRO/TP placement.
+        return make_train_step(
+            model, optimizer,
+            mesh=None if (use_tp or cfg.fsdp) else mesh,
+            log_grad_norm=cfg.log_grad_norm,
+            freeze_encoder=cfg.freeze_encoder,
+            grad_cache_chunks=cfg.grad_cache_chunks,
+        )
+
     if use_tp:
         # Tensor-parallel over the model axis: params/moments carry Megatron
         # shardings and the jitted step infers TP x DP from its inputs.
@@ -323,17 +336,17 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # custom_partitioning rule keeps batch sharding and gathers the
         # model-axis feature shards), so TP runs keep the flagship kernel.
         state = shard_train_state(mesh, state)
-        step_fn = make_train_step(model, optimizer, mesh=None, log_grad_norm=cfg.log_grad_norm, freeze_encoder=cfg.freeze_encoder, grad_cache_chunks=cfg.grad_cache_chunks)
+        step_fn = build_step(optimizer)
     elif cfg.fsdp:
         # ZeRO-style: params + AdamW moments sharded over the data axis;
         # GSPMD inserts the gathers/reduce-scatters (SURVEY §2.7 optional).
         from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
 
         state = shard_train_state_fsdp(mesh, state)
-        step_fn = make_train_step(model, optimizer, mesh=None, log_grad_norm=cfg.log_grad_norm, freeze_encoder=cfg.freeze_encoder, grad_cache_chunks=cfg.grad_cache_chunks)
+        step_fn = build_step(optimizer)
     else:
         state = replicate(mesh, state)
-        step_fn = make_train_step(model, optimizer, mesh=mesh, log_grad_norm=cfg.log_grad_norm, freeze_encoder=cfg.freeze_encoder, grad_cache_chunks=cfg.grad_cache_chunks)
+        step_fn = build_step(optimizer)
     batch_shard = batch_sharding(mesh)
 
     explore_rng = np.random.default_rng(cfg.seed)
@@ -405,7 +418,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     max(cfg.epochs - cfg.curriculum_epoch, 1), num_batches, cfg.min_lr,
                 )
                 optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
-                step_fn = make_train_step(model, optimizer, mesh=None if use_tp else mesh, log_grad_norm=cfg.log_grad_norm, freeze_encoder=cfg.freeze_encoder, grad_cache_chunks=cfg.grad_cache_chunks)
+                step_fn = build_step(optimizer)
             if cur_guidance != 0 and cur_guidance != 100:
                 logger.info("Restart dataloader")
                 cur_guidance = 100

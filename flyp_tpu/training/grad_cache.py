@@ -57,8 +57,9 @@ import optax
 
 from flyp_tpu.models.clip import CLIPModel
 from flyp_tpu.ops.losses import clip_loss
-from flyp_tpu.parallel.mesh import batch_axes, batch_sharding, replicated_sharding
+from flyp_tpu.parallel.mesh import batch_axes
 from flyp_tpu.training.train_state import TrainState
+from flyp_tpu.training.train_step import apply_gradients, jit_train_step
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -162,60 +163,13 @@ def make_chunked_train_step(
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         grads, _ = jax.lax.scan(grad_pass, zeros, (imgs, toks, g_img_c, g_txt_c))
 
-        def zero_visual(tree):
-            return {
-                k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k == "visual" else v)
-                for k, v in tree.items()
-            }
-
-        if freeze_encoder:
-            grads = zero_visual(grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        if freeze_encoder:
-            updates = zero_visual(updates)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1,
-            params=params,
-            opt_state=opt_state,
-            batch_stats=new_stats,
-        )
-        metrics = {
-            "loss": loss,
-            "per_item_loss": per_item,
-            "learning_rate": opt_state.hyperparams["learning_rate"],
-        }
-        if log_grad_norm:
-            metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
-
-    if not use_ground_labels:
-        unlabelled = lambda state, images, tokens: train_step(state, images, tokens, None)
-        if mesh is None:
-            return jax.jit(unlabelled, donate_argnums=(0,) if donate else ())
-        repl = replicated_sharding(mesh)
-        batch = batch_sharding(mesh)
-        metric_shardings = {"loss": repl, "per_item_loss": batch, "learning_rate": repl}
-        if log_grad_norm:
-            metric_shardings["grad_norm"] = repl
-        return jax.jit(
-            unlabelled,
-            in_shardings=(repl, batch, batch),
-            out_shardings=(repl, metric_shardings),
-            donate_argnums=(0,) if donate else (),
+        return apply_gradients(
+            state, grads, optimizer, new_stats,
+            freeze_encoder=freeze_encoder, loss=loss, per_item=per_item,
+            log_grad_norm=log_grad_norm,
         )
 
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
-
-    repl = replicated_sharding(mesh)
-    batch = batch_sharding(mesh)
-    metric_shardings = {"loss": repl, "per_item_loss": repl, "learning_rate": repl}
-    if log_grad_norm:
-        metric_shardings["grad_norm"] = repl
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, batch, batch, batch),
-        out_shardings=(repl, metric_shardings),
-        donate_argnums=(0,) if donate else (),
+    return jit_train_step(
+        train_step, mesh,
+        use_ground_labels=use_ground_labels, donate=donate, log_grad_norm=log_grad_norm,
     )

@@ -26,6 +26,104 @@ from flyp_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from flyp_tpu.training.train_state import TrainState
 
 
+def zero_visual(tree):
+    """Zero the image-tower subtree, leave text/logit_scale intact."""
+    return {k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k == "visual" else v) for k, v in tree.items()}
+
+
+def apply_gradients(
+    state: TrainState,
+    grads,
+    optimizer,
+    new_stats,
+    *,
+    freeze_encoder: bool,
+    loss,
+    per_item,
+    log_grad_norm: bool,
+):
+    """The shared update tail (direct and GradCache steps): freeze-encoder
+    masking, optimizer update, next :class:`TrainState`, standard metrics.
+
+    ``freeze_encoder`` implements the reference's ``--freeze-encoder`` flag
+    (`src/args.py:119-123`): the image tower trains no further.  The
+    reference optimizer already filters to ``requires_grad`` params
+    (`flyp_loss.py:368-371` — frozen params get NO Adam update and NO
+    weight decay), so the equivalent here zeroes both the visual-tower
+    gradients (keeping its Adam moments at exactly 0) and its final
+    updates (discarding the decoupled weight-decay term).
+    """
+    if freeze_encoder:
+        grads = zero_visual(grads)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    if freeze_encoder:
+        updates = zero_visual(updates)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        step=state.step + 1,
+        params=params,
+        opt_state=opt_state,
+        batch_stats=new_stats,
+    )
+    metrics = {
+        "loss": loss,
+        "per_item_loss": per_item,
+        "learning_rate": opt_state.hyperparams["learning_rate"],
+    }
+    if log_grad_norm:
+        metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def jit_train_step(
+    train_step: Callable,
+    mesh,
+    *,
+    use_ground_labels: bool,
+    donate: bool,
+    log_grad_norm: bool,
+) -> Callable:
+    """The shared jit/sharding scaffold (direct and GradCache steps).
+
+    With a mesh: state/metrics replicated, batch args sharded over the data
+    axes; the unlabelled contrastive path keeps its per-item losses
+    batch-sharded (the curriculum clustering consumes them host-side), the
+    labelled supervised variants reduce to replicated scalars.
+    """
+    donate_args = (0,) if donate else ()
+    if not use_ground_labels:
+        # Fix the arity so jit sharding specs line up with the actual args.
+        unlabelled = lambda state, images, tokens: train_step(state, images, tokens, None)
+        if mesh is None:
+            return jax.jit(unlabelled, donate_argnums=donate_args)
+        repl = replicated_sharding(mesh)
+        batch = batch_sharding(mesh)
+        metric_shardings = {"loss": repl, "per_item_loss": batch, "learning_rate": repl}
+        if log_grad_norm:
+            metric_shardings["grad_norm"] = repl
+        return jax.jit(
+            unlabelled,
+            in_shardings=(repl, batch, batch),
+            out_shardings=(repl, metric_shardings),
+            donate_argnums=donate_args,
+        )
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate_args)
+
+    repl = replicated_sharding(mesh)
+    batch = batch_sharding(mesh)
+    metric_shardings = {"loss": repl, "per_item_loss": repl, "learning_rate": repl}
+    if log_grad_norm:
+        metric_shardings["grad_norm"] = repl
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch, batch, batch),
+        out_shardings=(repl, metric_shardings),
+        donate_argnums=donate_args,
+    )
+
+
 def make_train_step(
     model: CLIPModel,
     optimizer: optax.GradientTransformation,
@@ -46,13 +144,7 @@ def make_train_step(
     losses (curriculum clustering consumes them, `flyp_loss.py:502-506`) and
     the current learning rate.
 
-    ``freeze_encoder`` implements the reference's ``--freeze-encoder`` flag
-    (`src/args.py:119-123`): the image tower trains no further.  The
-    reference optimizer already filters to ``requires_grad`` params
-    (`flyp_loss.py:368-371` — frozen params get NO Adam update and NO
-    weight decay), so the equivalent here zeroes both the visual-tower
-    gradients (keeping its Adam moments at exactly 0) and its final
-    updates (discarding the decoupled weight-decay term).
+    ``freeze_encoder``: see :func:`apply_gradients`.
 
     ``log_grad_norm`` adds the global gradient L2 norm to the metrics —
     the TPU-native stand-in for the reference's
@@ -66,6 +158,8 @@ def make_train_step(
     microbatch-sized forward/backward passes, for effective batches that do
     not fit directly (see :mod:`flyp_tpu.training.grad_cache`).
     """
+    if grad_cache_chunks < 1:
+        raise ValueError(f"grad_cache_chunks must be >= 1, got {grad_cache_chunks}")
     if grad_cache_chunks > 1:
         from flyp_tpu.training.grad_cache import make_chunked_train_step
 
@@ -102,60 +196,14 @@ def make_train_step(
             loss = jnp.mean(per_item)
             return loss, (per_item, new_stats)
 
-        def zero_visual(tree):
-            # Zero the image-tower subtree, leave text/logit_scale intact.
-            return {k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k == "visual" else v) for k, v in tree.items()}
-
         (loss, (per_item, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        if freeze_encoder:
-            grads = zero_visual(grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        if freeze_encoder:
-            updates = zero_visual(updates)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1,
-            params=params,
-            opt_state=opt_state,
-            batch_stats=new_stats,
-        )
-        metrics = {
-            "loss": loss,
-            "per_item_loss": per_item,
-            "learning_rate": opt_state.hyperparams["learning_rate"],
-        }
-        if log_grad_norm:
-            metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
-
-    if not use_ground_labels:
-        # Fix the arity so jit sharding specs line up with the actual args.
-        unlabelled = lambda state, images, tokens: train_step(state, images, tokens, None)
-        if mesh is None:
-            return jax.jit(unlabelled, donate_argnums=(0,) if donate else ())
-        repl = replicated_sharding(mesh)
-        batch = batch_sharding(mesh)
-        metric_shardings = {"loss": repl, "per_item_loss": batch, "learning_rate": repl}
-        if log_grad_norm:
-            metric_shardings["grad_norm"] = repl
-        return jax.jit(
-            unlabelled,
-            in_shardings=(repl, batch, batch),
-            out_shardings=(repl, metric_shardings),
-            donate_argnums=(0,) if donate else (),
+        return apply_gradients(
+            state, grads, optimizer, new_stats,
+            freeze_encoder=freeze_encoder, loss=loss, per_item=per_item,
+            log_grad_norm=log_grad_norm,
         )
 
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
-
-    repl = replicated_sharding(mesh)
-    batch = batch_sharding(mesh)
-    metric_shardings = {"loss": repl, "per_item_loss": repl, "learning_rate": repl}
-    if log_grad_norm:
-        metric_shardings["grad_norm"] = repl
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, batch, batch, batch),
-        out_shardings=(repl, metric_shardings),
-        donate_argnums=(0,) if donate else (),
+    return jit_train_step(
+        train_step, mesh,
+        use_ground_labels=use_ground_labels, donate=donate, log_grad_norm=log_grad_norm,
     )

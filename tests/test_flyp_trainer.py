@@ -111,6 +111,35 @@ def test_flyp_train_grad_cache(corpus, tmp_path):
     assert np.isfinite(stats["Avg ID FLYP Loss"].iloc[0])
 
 
+def test_fsdp_curriculum_restart_keeps_inferred_shardings(corpus, tmp_path, monkeypatch):
+    """FSDP + drestart curriculum: the scheduler-restart step_fn rebuild must
+    keep mesh=None (shardings inferred from the ZeRO-placed state).  A
+    mesh-pinned rebuild would silently reshard params/moments to replicated
+    mid-run — regression test for the build_step consolidation."""
+    import flyp_tpu.training.flyp as flyp_mod
+
+    seen_meshes = []
+    real_make = flyp_mod.make_train_step
+
+    def recording_make(model, optimizer, mesh=None, **kw):
+        seen_meshes.append(mesh)
+        return real_make(model, optimizer, mesh=mesh, **kw)
+
+    monkeypatch.setattr(flyp_mod, "make_train_step", recording_make)
+    model, variables = tiny_model()
+    cfg = make_cfg(
+        corpus, tmp_path, fsdp=True, curriculum=True, curriculum_epoch=1,
+        epochs=2, scheduler="drestart",
+    )
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+
+    assert len(seen_meshes) >= 2, "curriculum restart never rebuilt the step"
+    assert all(m is None for m in seen_meshes), (
+        "FSDP runs must always build the step with mesh=None; got "
+        f"{seen_meshes}"
+    )
+
+
 def test_flyp_train_curriculum(corpus, tmp_path):
     model, variables = tiny_model()
     cfg = make_cfg(corpus, tmp_path, curriculum=True, epochs=1)

@@ -26,32 +26,18 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
-from bench import build_bench_step, peak_flops_for  # noqa: E402
+from bench import build_bench_parts, build_bench_step  # noqa: E402
 
 
 def build_chunked(batch_size: int, model_name: str, remat: bool, chunks: int):
     """The bench step with the direct jit swapped for the chunked one —
-    identical model/optimizer/inputs so the comparison is like-for-like."""
+    the SAME model/optimizer/state/inputs (build_bench_parts), so the
+    comparison is like-for-like by construction."""
     from flyp_tpu.training.grad_cache import make_chunked_train_step
 
-    step_fn, state, images, tokens, config = build_bench_step(batch_size, model_name, remat)
-    del step_fn  # rebuilt chunked below (same model/optimizer construction)
-
-    import os
-
-    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS
-    from flyp_tpu.training.schedules import warmup_cosine_lr
-    from flyp_tpu.training.train_state import make_optimizer
-
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = CLIPModel(MODEL_CONFIGS[model_name], compute_dtype=compute_dtype, remat=remat)
-    moment_dtype = os.environ.get("FLYP_ADAM_MOMENT_DTYPE", "bfloat16")
-    optimizer = make_optimizer(warmup_cosine_lr(1e-5, 500, 10_000), weight_decay=0.1, moment_dtype=moment_dtype)
+    model, optimizer, state, images, tokens, config = build_bench_parts(batch_size, model_name, remat)
     chunked = make_chunked_train_step(model, optimizer, chunks=chunks, donate=True)
     return chunked, state, images, tokens, config
 
@@ -89,7 +75,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not on_tpu:  # functional smoke on CPU
-        args.batch, args.chunks, args.steps, args.warmup = 8, 2, 2, 1
+        args.batch, args.chunks, args.steps = 8, 2, 2
+    # At least one warmup step: the pre-timing sync point fetches its loss
+    # (on axon only a host transfer synchronizes — timing without it would
+    # include compile + queue drain).
+    args.warmup = max(args.warmup, 1)
     remat = args.model.startswith("ViT-L") and not args.no_remat
     device = jax.devices()[0]
 
