@@ -108,6 +108,14 @@ class ExperimentConfig:
     #: use when the direct batch does not fit, e.g. ViT-L at bs512 on one
     #: chip).  See flyp_tpu/training/grad_cache.py.
     grad_cache_chunks: int = 1
+    #: Preemption safety (TPU extra; the reference resumes only at epoch
+    #: boundaries and even that is commented out, `flyp_loss.py:318-333`):
+    #: >0 writes a mid-epoch step checkpoint every N steps; auto-resume
+    #: continues the EXACT trajectory (deterministic loader fast-forward).
+    save_every_n_steps: int = 0
+    #: >0 exits cleanly after N steps this invocation, writing a step
+    #: checkpoint when --save is set (slurm/maintenance-window budgets).
+    max_steps: int = 0
     remat: bool = False
     log_dir: Optional[str] = None
     data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" | "native" (C++ lib) | "grain"
@@ -185,6 +193,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_moment_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--log_grad_norm", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--grad_cache_chunks", type=int, default=1)
+    p.add_argument("--save_every_n_steps", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")
     p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)

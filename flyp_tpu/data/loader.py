@@ -63,6 +63,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        self.start_batch = 0
         # Multi-host sharding (`wds.split_by_node` semantics, laion.py:464):
         # every process computes the SAME seeded global order, then strides
         # over it, so coverage is disjoint and exhaustive per epoch.
@@ -78,8 +79,14 @@ class DataLoader:
 
         return resolve_process(self.process_index, self.process_count, self.shard_by_process)
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Advance the shuffle stream; ``start_batch`` fast-forwards the next
+        iteration past its first k batches WITHOUT decoding them (the epoch
+        order is seeded, so batch k is the same bytes whether or not 0..k-1
+        were materialized) — the mid-epoch resume hook (utils/checkpoint.py
+        StepCursor).  Reset to 0 by any later plain ``set_epoch`` call."""
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def __len__(self) -> int:
         _, count = self._proc()
@@ -129,8 +136,9 @@ class DataLoader:
                     futures.append(pool.submit(fetch, submitted))
                     submitted += 1
 
+            skip = min(self.start_batch, n_batches) * self.batch_size
+            submitted = done = skip
             top_up()
-            done = 0
             while done < total:
                 batch = []
                 take = min(self.batch_size, total - done)

@@ -41,7 +41,7 @@ from flyp_tpu.training.schedules import make_scheduler
 from flyp_tpu.utils.pipeline import OneStepLag
 from flyp_tpu.training.train_state import create_train_state, make_optimizer
 from flyp_tpu.training.train_step import make_train_step
-from flyp_tpu.utils.checkpoint import CurriculumCursor, save_checkpoint, wait_for_saves
+from flyp_tpu.utils.checkpoint import CurriculumCursor, StepCursor, save_checkpoint, wait_for_saves
 from flyp_tpu.utils.logging import get_logger
 from flyp_tpu.utils.metrics_sink import MetricsSink
 
@@ -177,6 +177,31 @@ def _cont_finetune_classes(cfg, logger):
     return list_classes
 
 
+def _latest_checkpoint(save_dir: str):
+    """Find the newest checkpoint in ``save_dir``.
+
+    ``checkpoint_{e}`` means "epoch e completed" and orders as ``(e+1, -1)``;
+    ``checkpoint_{e}_step_{i}`` means "epoch e, step i completed" and orders
+    as ``(e, i)``.  Orbax tmp dirs (``*.orbax-checkpoint-tmp-*``) fail the
+    isdigit guards and are skipped.  Returns ``(kind, path)`` or ``None``."""
+    best = None
+    for d in os.listdir(save_dir):
+        if not d.startswith("checkpoint_"):
+            continue
+        e, sep, s = d[len("checkpoint_") :].partition("_step_")
+        if not e.isdigit():
+            continue
+        if not sep:
+            key, kind = (int(e) + 1, -1), "epoch"
+        elif s.isdigit():
+            key, kind = (int(e), int(s)), "step"
+        else:
+            continue
+        if best is None or key > best[0]:
+            best = (key, (kind, os.path.join(save_dir, d)))
+    return best[1] if best else None
+
+
 def _global_host_state(tree):
     """Fetch a (possibly sharded) device pytree to host numpy on EVERY host.
 
@@ -236,6 +261,22 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     cur_str_times = 1
 
     ori_proportion = 0.1 if cfg.proportion else None
+
+    if cfg.save_every_n_steps or cfg.max_steps:
+        # Step checkpoints promise an EXACT resumed trajectory, which needs
+        # the seeded-order CSV loader's batch-level fast-forward
+        # (data/loader.py set_epoch(start_batch=...)); streaming/tfdata/grain
+        # backends cannot replay "the rest of pass p" exactly.
+        from flyp_tpu.data.webdataset import is_webdataset as _is_wds
+
+        if getattr(cfg, "data_backend", "threads") in ("tfdata", "grain") or _is_wds(
+            cfg.ft_data, cfg.dataset_type
+        ):
+            raise ValueError(
+                "--save_every_n_steps/--max_steps need the threads/native CSV "
+                "backend (deterministic mid-epoch fast-forward); "
+                f"data_backend={cfg.data_backend!r} or webdataset streams are unsupported"
+            )
 
     import ml_dtypes
 
@@ -358,20 +399,32 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
     # Auto-resume from the latest checkpoint in --save (the reference shipped
     # this commented out at `flyp_loss.py:318-333`; here it is real, and the
-    # checkpoint carries optimizer state + curriculum cursor).
+    # checkpoint carries optimizer state + curriculum cursor).  Step
+    # checkpoints (--save_every_n_steps / --max_steps) additionally carry a
+    # StepCursor and resume MID-epoch with an exact trajectory: same loader
+    # pass, same remaining batches (seeded order fast-forward), same partial
+    # epoch-loss sum.  Caveats (documented, matching the epoch-resume
+    # limitations for cross-epoch dicts): `--cluster loss` loss_pairs and
+    # `--ma_progress` moving averages accumulated before the save are not
+    # checkpointed — params/optimizer trajectory stays exact either way.
+    data_pass = 0
+    batch_in_pass = 0
+    cur_proportion = ori_proportion  # the active loader's ori_proportion
+    resume_epoch_mid = -1  # epoch being resumed mid-way (-1: none)
+    resume_step = 0  # first step index to run in that epoch
+    resume_loss_sum = 0.0
     if cfg.save is not None and os.path.isdir(cfg.save):
         from flyp_tpu.utils.checkpoint import restore_checkpoint
 
-        ckpts = sorted(
-            (int(d.split("_")[-1]), os.path.join(cfg.save, d))
-            for d in os.listdir(cfg.save)
-            if d.startswith("checkpoint_") and d.split("_")[-1].isdigit()
-        )
-        if ckpts:
-            epoch_n, path = ckpts[-1]
+        found = _latest_checkpoint(cfg.save)
+        if found:
+            kind, path = found
             logger.info(f"Auto-resuming from {path}")
             host_state = _global_host_state(state)
-            host_state, cursor = restore_checkpoint(path, host_state)
+            if kind == "step":
+                host_state, cursor, mid_cursor = restore_checkpoint(path, host_state, mid=True)
+            else:
+                host_state, cursor = restore_checkpoint(path, host_state)
             if use_tp:
                 from flyp_tpu.parallel.tp import shard_train_state
 
@@ -385,15 +438,29 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 state = shard_train_state_fsdp(mesh, host_state)
             else:
                 state = replicate(mesh, host_state)
-            start_epoch = cursor.epoch + 1
             cur_guidance = cursor.cur_guidance
             cur_str_times = cursor.cur_str_times
             cur_guidance_id = cursor.cur_guidance_id
-            if cfg.curriculum and cur_guidance is not None:
-                ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
+            if kind == "step":
+                start_epoch = cursor.epoch
+                resume_epoch_mid = cursor.epoch
+                resume_step = mid_cursor.step_in_epoch + 1
+                resume_loss_sum = mid_cursor.id_flyp_loss_sum
+                data_pass = mid_cursor.data_pass
+                batch_in_pass = mid_cursor.batch_in_pass
+                cur_proportion = None if mid_cursor.proportion < 0 else mid_cursor.proportion
+                # Rebuild the loader the original run was mid-way through and
+                # fast-forward past its consumed batches; the iterator then
+                # yields exactly the stream the preempted run would have seen.
+                ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, cur_proportion)
+                ft_loader.set_epoch(data_pass, start_batch=batch_in_pass)
+            else:
+                start_epoch = cursor.epoch + 1
+                if cfg.curriculum and cur_guidance is not None:
+                    ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
 
-    data_pass = 0
     drestart_done = False
+    steps_this_run = 0
     ft_iterator = device_iter(ft_loader)
 
     for epoch in range(start_epoch, cfg.epochs):
@@ -430,7 +497,10 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         logger.info(f"Epoch : {epoch}")
         epoch_stats = {"Epoch": epoch, "epoch": epoch}
         progress_ma: dict = {}
-        id_flyp_loss_sum = 0.0
+        # Mid-epoch resume re-enters this epoch at the saved step with the
+        # saved partial loss sum, so stats.tsv matches an uninterrupted run.
+        start_step = resume_step if epoch == resume_epoch_mid else 0
+        id_flyp_loss_sum = resume_loss_sum if epoch == resume_epoch_mid else 0.0
 
         # One-step-lagged metrics drain: converting the loss to a host float
         # is the only per-step synchronization, and doing it immediately
@@ -473,13 +543,14 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 pct = 100 * j / num_batches
                 logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {j}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
 
-        for i in range(num_batches):
+        for i in range(start_step, num_batches):
             if cfg.test:
                 logger.info("Skipping training process")
                 break
 
             try:
                 batch = next(ft_iterator)
+                batch_in_pass += 1
             except StopIteration:
                 proportion = None
                 if cfg.curriculum:
@@ -512,12 +583,14 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                         if cfg.proportion and cfg.curriculum_epoch:
                             proportion = 1 / cfg.curriculum_epoch * epoch
                     ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, proportion)
+                    cur_proportion = proportion
                 # Advance the shuffle stream on every pass (torch reshuffles
                 # implicitly per DataLoader iteration; ours is explicit).
                 data_pass += 1
                 ft_loader.set_epoch(data_pass)
                 ft_iterator = device_iter(ft_loader)
                 batch = next(ft_iterator)
+                batch_in_pass = 1
 
             state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
@@ -526,6 +599,45 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             )
             if prev is not None:
                 drain_metrics(prev)  # step i is in flight; fetch of i-1 overlaps it
+
+            # -- preemption safety: step checkpoints + clean step-budget exit.
+            steps_this_run += 1
+            hit_budget = bool(cfg.max_steps) and steps_this_run >= cfg.max_steps
+            periodic = (
+                cfg.save_every_n_steps
+                and (i + 1) % cfg.save_every_n_steps == 0
+                and i + 1 < num_batches  # the epoch checkpoint follows anyway
+            )
+            if hit_budget or periodic:
+                pend = lag.flush()  # fold step i's loss into the saved sum
+                if pend is not None:
+                    drain_metrics(pend)
+                if cfg.save is not None:
+                    step_path = os.path.join(cfg.save, f"checkpoint_{epoch}_step_{i}")
+                    # Collective fetch on ALL hosts, then single-writer save.
+                    ckpt_state = _global_host_state(state)
+                    if primary:
+                        os.makedirs(cfg.save, exist_ok=True)
+                        save_checkpoint(
+                            step_path,
+                            ckpt_state,
+                            CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id),
+                            async_save=True,
+                            mid=StepCursor(
+                                i,
+                                data_pass,
+                                batch_in_pass,
+                                id_flyp_loss_sum,
+                                -1.0 if cur_proportion is None else float(cur_proportion),
+                            ),
+                        )
+                        logger.info("Saving step checkpoint to " + step_path)
+                    model_path = step_path
+            if hit_budget:
+                logger.info(f"max_steps={cfg.max_steps} reached at epoch {epoch} step {i}; exiting")
+                sink.close()
+                wait_for_saves()
+                return model_path
 
             if cfg.ma_progress and (num_batches - i) % 100 == 0:
                 # Moving-average progress sampling every 100 batches

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -36,6 +36,39 @@ class CurriculumCursor:
         out = {k: int(v) for k, v in d.items()}
         if out["cur_guidance"] == -1:
             out["cur_guidance"] = None
+        return cls(**out)
+
+
+@dataclasses.dataclass
+class StepCursor:
+    """Mid-epoch position for preemption-safe resume (step checkpoints).
+
+    The reference can only resume at epoch boundaries (and even that block
+    is commented out, `flyp_loss.py:318-333`); on preemptible TPUs a step
+    cursor is required.  Exactness rests on the loader's determinism: the
+    epoch order is seeded and augmentation RNG is keyed by dataset index
+    (data/loader.py), so "skip the first k batches of pass p" reproduces the
+    exact remaining stream.
+    """
+
+    step_in_epoch: int = -1  # last completed step i within the epoch
+    data_pass: int = 0  # the loader's shuffle-stream counter
+    batch_in_pass: int = 0  # batches already consumed from the current pass
+    id_flyp_loss_sum: float = 0.0  # epoch-partial loss sum (for stats.tsv)
+    proportion: float = -1.0  # active loader's ori_proportion (-1: None)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return {
+            k: np.float64(v) if isinstance(v, float) else np.int64(v) for k, v in d.items()
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "StepCursor":
+        out: Dict[str, Any] = {}
+        for f in dataclasses.fields(cls):
+            v = d[f.name]
+            out[f.name] = float(v) if f.type == "float" else int(v)
         return cls(**out)
 
 
@@ -68,7 +101,11 @@ def wait_for_saves() -> None:
 
 
 def save_checkpoint(
-    path: str, state, cursor: Optional[CurriculumCursor] = None, async_save: bool = False
+    path: str,
+    state,
+    cursor: Optional[CurriculumCursor] = None,
+    async_save: bool = False,
+    mid: Optional[StepCursor] = None,
 ) -> str:
     """Save a TrainState (+cursor) to ``path`` (an absolute directory).
 
@@ -78,7 +115,12 @@ def save_checkpoint(
     epoch loop (the reference's torch.save blocks, `flyp_loss.py:545-552`).
     Single-process only: orbax's async path coordinates across processes,
     and this framework's single-writer rule means only process 0 calls save
-    — so multi-host runs fall back to the synchronous write."""
+    — so multi-host runs fall back to the synchronous write.
+
+    ``mid`` marks a MID-EPOCH (step) checkpoint: the payload gains a "mid"
+    leaf group and must be restored with ``restore_checkpoint(...,
+    mid=True)``.  Epoch checkpoints keep the legacy payload shape, so old
+    checkpoints stay restorable."""
     path = os.path.abspath(path)
     payload = {
         "step": state.step,
@@ -87,6 +129,8 @@ def save_checkpoint(
         "batch_stats": state.batch_stats if state.batch_stats is not None else {},
         "cursor": (cursor or CurriculumCursor()).to_dict(),
     }
+    if mid is not None:
+        payload["mid"] = mid.to_dict()
     # np.asarray fetches device arrays to host HERE, so the background write
     # never races the training loop's donated device buffers.
     payload = jax.tree_util.tree_map(np.asarray, payload, is_leaf=lambda x: x is None)
@@ -97,8 +141,11 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(path: str, state) -> Tuple[Any, CurriculumCursor]:
-    """Restore into the structure of ``state``; returns (state, cursor)."""
+def restore_checkpoint(path: str, state, mid: bool = False):
+    """Restore into the structure of ``state``.
+
+    Returns ``(state, cursor)``, or ``(state, cursor, step_cursor)`` when
+    ``mid=True`` (a step checkpoint written with ``mid=StepCursor(...)``)."""
     wait_for_saves()  # a just-async-written path must be committed first
     path = os.path.abspath(path)
     template = {
@@ -108,6 +155,8 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, CurriculumCursor]:
         "batch_stats": state.batch_stats if state.batch_stats is not None else {},
         "cursor": CurriculumCursor().to_dict(),
     }
+    if mid:
+        template["mid"] = StepCursor().to_dict()
     restored = _checkpointer().restore(path, item=jax.tree_util.tree_map(np.asarray, template))
     cursor = CurriculumCursor.from_dict(restored["cursor"])
     new_state = dataclasses.replace(
@@ -119,6 +168,8 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, CurriculumCursor]:
         ),
         batch_stats=restored["batch_stats"] if state.batch_stats is not None else None,
     )
+    if mid:
+        return new_state, cursor, StepCursor.from_dict(restored["mid"])
     return new_state, cursor
 
 

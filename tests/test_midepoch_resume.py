@@ -1,0 +1,175 @@
+"""Preemption-safe mid-epoch resume: step checkpoints restore the EXACT
+training trajectory.
+
+The reference can only checkpoint at epoch boundaries, and even its
+epoch-level resume ships commented out (`flyp_loss.py:318-333,545-552`).
+On preemptible TPUs a step-granular cursor is required; these tests pin the
+whole contract: deterministic loader fast-forward (data/loader.py
+``set_epoch(start_batch=...)``), the StepCursor payload
+(utils/checkpoint.py), the resume scan ordering, and bitwise equality of an
+interrupted+resumed run with an uninterrupted one — params, optimizer
+moments, and stats.tsv alike.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from flyp_tpu.training.flyp import _latest_checkpoint, flyp_train
+
+from tests.test_flyp_trainer import corpus, make_cfg, tiny_model  # noqa: F401
+
+
+def _raw_params(ckpt_dir):
+    import orbax.checkpoint as ocp
+
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(str(ckpt_dir)))
+    return {"params": tree["params"], "opt_state": tree["opt_state"], "step": tree["step"]}
+
+
+def _assert_trees_equal(a, b):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_loader_start_batch_fast_forward():
+    """Skipping k batches reproduces exactly the tail of the full pass —
+    including the per-sample augmentation RNG (keyed by dataset index)."""
+    from flyp_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 37
+
+        def get(self, idx, rng):
+            return {"x": np.array([idx, rng.integers(0, 1_000_000)])}
+
+    dl = DataLoader(DS(), batch_size=4, num_workers=2, seed=7)
+    dl.set_epoch(3)
+    full = [b["x"].copy() for b in dl]
+    dl.set_epoch(3, start_batch=2)
+    tail = [b["x"].copy() for b in dl]
+    assert len(full) == 9 and len(tail) == 7
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a, b)
+    # A plain set_epoch resets the fast-forward.
+    dl.set_epoch(3)
+    assert len(list(dl)) == 9
+    # Skipping past the end of the pass yields an empty iteration.
+    dl.set_epoch(3, start_batch=99)
+    assert list(dl) == []
+
+
+def test_latest_checkpoint_ordering(tmp_path):
+    """Epoch dirs mean "epoch completed" and outrank that epoch's step dirs;
+    orbax tmp dirs and foreign names are ignored."""
+    names = [
+        "checkpoint_0",
+        "checkpoint_1_step_3",
+        "checkpoint_1_step_11",
+        "checkpoint_1_step_11.orbax-checkpoint-tmp-42",
+        "checkpoint_junk",
+        "other_dir",
+    ]
+    for n in names:
+        (tmp_path / n).mkdir()
+    kind, path = _latest_checkpoint(str(tmp_path))
+    assert (kind, os.path.basename(path)) == ("step", "checkpoint_1_step_11")
+
+    (tmp_path / "checkpoint_1").mkdir()
+    kind, path = _latest_checkpoint(str(tmp_path))
+    assert (kind, os.path.basename(path)) == ("epoch", "checkpoint_1")
+
+    (tmp_path / "checkpoint_2_step_0").mkdir()
+    kind, path = _latest_checkpoint(str(tmp_path))
+    assert (kind, os.path.basename(path)) == ("step", "checkpoint_2_step_0")
+
+
+def test_max_steps_resume_is_bitwise_exact(corpus, tmp_path):  # noqa: F811
+    """Interrupt at step 3 of epoch 0 (of 2x4 steps), auto-resume, and the
+    final checkpoints AND stats.tsv match the uninterrupted run bitwise."""
+    base = dict(epochs=2, seed=0)
+
+    # Uninterrupted reference run.
+    model, variables = tiny_model()
+    cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "ckpt_a"), log_dir=str(tmp_path / "log_a"), **base)
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    # Interrupted run: a periodic step checkpoint at step 1, the budget exit
+    # at step 2 (steps_this_run=3 => i=2), then a fresh invocation resumes.
+    model, variables = tiny_model()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "ckpt_b"), log_dir=str(tmp_path / "log_b"),
+        max_steps=3, save_every_n_steps=2, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret) == "checkpoint_0_step_2"
+    assert os.path.isdir(os.path.join(cfg_b.save, "checkpoint_0_step_1"))  # periodic
+    assert not os.path.isdir(os.path.join(cfg_b.save, "checkpoint_0"))  # epoch 0 incomplete
+
+    model, variables = tiny_model()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "ckpt_b"), log_dir=str(tmp_path / "log_b2"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    for epoch in (0, 1):
+        _assert_trees_equal(
+            _raw_params(os.path.join(cfg_a.save, f"checkpoint_{epoch}")),
+            _raw_params(os.path.join(cfg_b.save, f"checkpoint_{epoch}")),
+        )
+
+    # stats.tsv: the resumed epoch-0 row carries the restored partial loss
+    # sum, so per-epoch averages match the uninterrupted run exactly.
+    stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b2.log_dir, "stats.tsv"), sep="\t")
+    assert len(stats_b) == 2
+    pd.testing.assert_frame_equal(stats_a, stats_b)
+
+
+def test_curriculum_midpass_resume_exact(corpus, tmp_path):  # noqa: F811
+    """Interrupt right AFTER a curriculum guidance rollover (mid second
+    pass), resuming with a rebuilt guidance-100 loader fast-forwarded one
+    batch — the rollover bookkeeping (data_pass, batch_in_pass, guidance
+    cursor) round-trips through the step checkpoint."""
+    base = dict(curriculum=True, epochs=1, seed=0)
+
+    model, variables = tiny_model()
+    cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "cur_a"), log_dir=str(tmp_path / "clog_a"), **base)
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    # 4 curriculum steps/epoch, 2 batches per guidance pass: step budget 3
+    # stops one batch into the guidance-100 pass.
+    model, variables = tiny_model()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "cur_b"), log_dir=str(tmp_path / "clog_b"),
+        max_steps=3, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret) == "checkpoint_0_step_2"
+
+    model, variables = tiny_model()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "cur_b"), log_dir=str(tmp_path / "clog_b2"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    _assert_trees_equal(
+        _raw_params(os.path.join(cfg_a.save, "checkpoint_0")),
+        _raw_params(os.path.join(cfg_b.save, "checkpoint_0")),
+    )
+    stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b2.log_dir, "stats.tsv"), sep="\t")
+    pd.testing.assert_frame_equal(stats_a, stats_b)
+
+
+def test_step_checkpoints_reject_streaming_backends(corpus, tmp_path):  # noqa: F811
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, save_every_n_steps=2, data_backend="grain")
+    with pytest.raises(ValueError, match="threads/native"):
+        flyp_train(cfg, model=model, variables=variables)
