@@ -1,0 +1,163 @@
+"""ClipServer: bucketed, pipelined serving front-end (flyp_tpu/serving).
+
+Exactness contract under test: padding to a batch bucket, splitting an
+oversize request into chunks, slicing text to the bucketed max-EOT width,
+and the one-step-lag stream must all return byte-identical results to a
+direct unpadded forward (fp32 CPU) — bucketing is a compile-count lever,
+never a numerics one.
+"""
+
+import numpy as np
+import pytest
+
+from flyp_tpu.serving import ClipServer
+
+from tests.test_flyp_trainer import tiny_model
+
+
+@pytest.fixture(scope="module")
+def server():
+    model, variables = tiny_model()
+    return ClipServer(model, variables, image_buckets=(4, 8))
+
+
+def _images(n, px=32, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, px, px, 3)).astype(np.float32)
+
+
+def test_bucket_selection(server):
+    assert [server.bucket_for(n) for n in (1, 4, 5, 8)] == [4, 4, 8, 8]
+    assert server._chunks(3) == [(0, 3, 4)]
+    assert server._chunks(8) == [(0, 8, 8)]
+    assert server._chunks(21) == [(0, 8, 8), (8, 8, 8), (16, 5, 8)]
+    with pytest.raises(ValueError, match="ascending"):
+        ClipServer(server.model, server.variables, image_buckets=(8, 4))
+
+
+def test_encode_images_matches_direct(server):
+    """Pad-to-bucket and chunked oversize requests are exact.
+
+    Bitwise WITHIN a compiled shape: the tower is batch-independent, so a
+    row's feature cannot depend on what fills the padding rows, and every
+    chunk of an oversize request equals the standalone request for the same
+    rows.  Across DIFFERENT compiled shapes only fp reduction order changes
+    (XLA tiles each shape independently), so the direct-unpadded comparison
+    is allclose at fp32 tolerances."""
+    imgs = _images(21)
+    # Padding rows cannot leak: same [4] program, different pad contents.
+    np.testing.assert_array_equal(
+        server.encode_images(imgs[:3]), server.encode_images(imgs[:4])[:3]
+    )
+    # Chunking is positionally exact: same [8] program either way.
+    out21 = server.encode_images(imgs)
+    assert out21.shape == (21, server.model.config.embed_dim)
+    np.testing.assert_array_equal(out21[:8], server.encode_images(imgs[:8]))
+    np.testing.assert_array_equal(out21[16:], server.encode_images(imgs[16:]))
+    # Cross-shape: matches the direct unpadded forward at fp32 tolerance.
+    direct = np.asarray(
+        server.model.apply(server.variables, imgs, normalize=True, method="encode_image")
+    )
+    np.testing.assert_allclose(out21, direct, rtol=2e-5, atol=2e-6)
+
+
+def test_encode_texts_matches_full_context(server):
+    """Width bucketing (shrink_context) is exact: causal tower + EOT pooling
+    make post-EOT positions unreachable."""
+    from flyp_tpu.tokenizer import tokenize
+
+    caps = ["a photo of a cat", "a dog", "x " * 30, "short"] * 2  # mixed EOTs
+    tokens = tokenize(caps)  # [8, 77] -> one [8, w] bucket chunk
+    direct = np.asarray(
+        server.model.apply(server.variables, tokens, normalize=True, method="encode_text")
+    )
+    out = server.encode_texts(caps)
+    # Width slicing is value-preserving (causal tower + EOT pooling — the
+    # property itself is pinned in test_tokenizer.py); across two compiled
+    # widths XLA may group the same addends differently, so compare at fp32
+    # tolerance here and bitwise only within identical programs below.
+    np.testing.assert_allclose(out, direct, rtol=2e-5, atol=2e-6)
+    # Pre-tokenized input takes the same path (bitwise: same program).
+    np.testing.assert_array_equal(server.encode_texts(tokens), out)
+    # Oversize requests chunk positionally exactly (same [8, w] program)...
+    caps12 = caps + caps[:4]
+    out12 = server.encode_texts(caps12)
+    np.testing.assert_array_equal(out12[:8], out)
+    # ...and the [4]-bucket tail matches the standalone [4]-bucket call.
+    np.testing.assert_array_equal(out12[8:], server.encode_texts(caps[:4]))
+
+
+def test_classify_and_top_k():
+    model, variables = tiny_model()
+    rng = np.random.default_rng(1)
+    from flyp_tpu.models.head import ClassificationHead
+
+    head = ClassificationHead.create(
+        np.asarray(rng.standard_normal((7, model.config.embed_dim)), np.float32), normalize=True
+    )
+    srv = ClipServer(model, variables, head=head, image_buckets=(4, 8))
+    imgs = _images(5, seed=2)
+    logits = srv.classify(imgs)
+    assert logits.shape == (5, 7)
+
+    probs, idx = srv.top_k(imgs, k=3)
+    assert probs.shape == idx.shape == (5, 3)
+    assert (np.diff(probs, axis=1) <= 0).all()  # descending
+    full = np.exp(logits - logits.max(axis=1, keepdims=True))
+    full /= full.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(probs[:, 0], full.max(axis=1), rtol=1e-6)
+    assert (idx[:, 0] == full.argmax(axis=1)).all()
+
+    headless = ClipServer(model, variables, image_buckets=(4,))
+    with pytest.raises(ValueError, match="head"):
+        headless.classify(imgs)
+
+
+def test_for_classification_head_matches_evaluator(server):
+    """for_classification builds the SAME zero-shot head the per-epoch eval
+    uses, so serving logits == evaluator logits."""
+    from flyp_tpu.evaluation.classifier import Classifier
+    from flyp_tpu.evaluation.zeroshot import get_zeroshot_classifier
+
+    classnames = ["cat", "dog", "bird"]
+    template = [lambda c: f"a photo of a {c}."]
+    srv = ClipServer.for_classification(
+        server.model, server.variables, classnames, template, image_buckets=(4, 8)
+    )
+    head = get_zeroshot_classifier(server.model, server.variables, classnames, template)
+    clf = Classifier(server.model, server.variables, head, batch_size=8)
+    imgs = _images(6, seed=3)
+    np.testing.assert_array_equal(srv.classify(imgs), clf.predict_logits(imgs))
+
+
+def test_similarity_retrieval(server):
+    imgs, caps = _images(4, seed=4), ["a", "b", "c"]
+    sim = server.similarity(server.encode_images(imgs), server.encode_texts(caps))
+    assert sim.shape == (4, 3)
+    scale = float(np.exp(np.asarray(server.variables["params"]["logit_scale"], np.float32)))
+    fi = server.encode_images(imgs).astype(np.float32)
+    ft = server.encode_texts(caps).astype(np.float32)
+    np.testing.assert_allclose(sim, scale * fi @ ft.T, rtol=1e-6)
+
+
+def test_stream_matches_batch_calls(server):
+    batches = [_images(4, seed=5), _images(7, seed=6), _images(2, seed=7)]
+    streamed = list(server.stream_features(iter(batches)))
+    assert len(streamed) == 3
+    for got, batch in zip(streamed, batches):
+        np.testing.assert_array_equal(got, server.encode_images(batch))
+    with pytest.raises(ValueError, match="largest bucket"):
+        list(server.stream_features([_images(9)]))
+
+
+def test_warmup_counts_programs():
+    model, variables = tiny_model()
+    from flyp_tpu.models.head import ClassificationHead
+
+    head = ClassificationHead.create(
+        np.asarray(np.eye(3, model.config.embed_dim), np.float32), normalize=True
+    )
+    srv = ClipServer(model, variables, head=head, image_buckets=(4, 8))
+    # 2 buckets x (features + logits) + 2 text widths
+    assert srv.warmup(text_widths=(16, 32)) == 6
+    srv_nohead = ClipServer(model, variables, image_buckets=(4,))
+    assert srv_nohead.warmup(text_widths=(16,)) == 2
