@@ -34,6 +34,7 @@ nine model configs are in docs/SERVING.md (ViT-B/16 bs256: 3947 img/s,
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import Iterable, Iterator, Optional, Sequence, Tuple
 
@@ -142,56 +143,53 @@ class ClipServer:
     def _prep_images(self, images) -> np.ndarray:
         return host_cast_images(np.asarray(images), self.model.compute_dtype)
 
+    def _run_chunks(self, arr: np.ndarray, dispatch, window: int = 4) -> np.ndarray:
+        """Dispatch bucket-padded chunks with at most ``window`` in flight.
+
+        The lookahead overlaps host<->device transfers with device compute
+        (the zeroshot-builder launch pattern) while bounding live device
+        buffers — an unbounded dispatch of a huge request would queue every
+        chunk's input in HBM before the first fetch releases one."""
+        out: list = []
+        pending: collections.deque = collections.deque()
+        for s, c, b in self._chunks(arr.shape[0]):
+            pending.append((dispatch(jnp.asarray(self._pad_rows(arr[s : s + c], b))), c))
+            if len(pending) > window:
+                h, cc = pending.popleft()
+                out.append(np.asarray(h)[:cc])
+        while pending:
+            h, cc = pending.popleft()
+            out.append(np.asarray(h)[:cc])
+        return np.concatenate(out, axis=0)
+
     # -- request APIs ---------------------------------------------------------
 
     def encode_images(self, images) -> np.ndarray:
-        """[n, H, W, C] host array -> [n, D] features (any n).
-
-        Dispatches every chunk before fetching any, so transfers overlap
-        device compute."""
+        """[n, H, W, C] host array -> [n, D] features (any n)."""
         images = self._prep_images(images)
-        spans = self._chunks(images.shape[0])
-        handles = [
-            self._img_fn(self.variables, jnp.asarray(self._pad_rows(images[s : s + c], b)))
-            for s, c, b in spans
-        ]
-        return np.concatenate(
-            [np.asarray(h)[:c] for h, (_, c, _) in zip(handles, spans)], axis=0
-        )
+        return self._run_chunks(images, lambda x: self._img_fn(self.variables, x))
 
     def encode_texts(self, texts) -> np.ndarray:
         """Captions (list of str, or a pre-tokenized [n, ctx] int array) ->
         [n, D] features.  Width is sliced to the bucketed max EOT — exact."""
         tokens = tokenize(list(texts)) if not isinstance(texts, np.ndarray) else texts
         tokens = shrink_context(np.asarray(tokens))
-        spans = self._chunks(tokens.shape[0])
-        handles = [
-            self._txt_fn(self.variables, jnp.asarray(self._pad_rows(tokens[s : s + c], b)))
-            for s, c, b in spans
-        ]
-        return np.concatenate(
-            [np.asarray(h)[:c] for h, (_, c, _) in zip(handles, spans)], axis=0
-        )
+        return self._run_chunks(tokens, lambda t: self._txt_fn(self.variables, t))
 
     def classify(self, images) -> np.ndarray:
         """[n, H, W, C] -> [n, num_classes] zero-shot logits."""
         if self.head is None:
             raise ValueError("classify() needs a head; use for_classification(...) or pass head=")
         images = self._prep_images(images)
-        spans = self._chunks(images.shape[0])
-        handles = [
-            self._logits_fn(self.variables, self.head, jnp.asarray(self._pad_rows(images[s : s + c], b)))
-            for s, c, b in spans
-        ]
-        return np.concatenate(
-            [np.asarray(h)[:c] for h, (_, c, _) in zip(handles, spans)], axis=0
-        )
+        return self._run_chunks(images, lambda x: self._logits_fn(self.variables, self.head, x))
 
     def top_k(self, images, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
-        """(probs [n, k], class indices [n, k]), descending."""
+        """(probs [n, k], class indices [n, k]), descending.  ``k`` clamps
+        to the number of classes."""
         logits = self.classify(images).astype(np.float32)
         probs = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs /= probs.sum(axis=1, keepdims=True)
+        k = min(int(k), probs.shape[1])
         idx = np.argpartition(-probs, min(k, probs.shape[1] - 1), axis=1)[:, :k]
         order = np.take_along_axis(probs, idx, axis=1).argsort(axis=1)[:, ::-1]
         idx = np.take_along_axis(idx, order, axis=1)
@@ -237,10 +235,10 @@ class ClipServer:
 
     def warmup(self, text_widths: Sequence[int] = (16, 32)) -> int:
         """Compile every serving shape before the first request: all image
-        buckets (features + logits when a head is set) and each (max bucket,
-        text width) pair.  Returns the number of programs warmed.  On a
-        tunneled TPU each distinct shape costs minutes to compile — warm
-        exactly the shapes the deployment serves."""
+        buckets (features + logits when a head is set) and the full
+        (batch bucket x text width) grid.  Returns the number of programs
+        warmed.  On a tunneled TPU each distinct shape costs minutes to
+        compile — warm exactly the shapes the deployment serves."""
         px = self.model.config.vision.image_size
         img_dtype = np.dtype("float32")
         ctx = self.model.config.text.context_length
@@ -254,10 +252,11 @@ class ClipServer:
                 last = self._logits_fn(self.variables, self.head, jnp.asarray(images))
                 count += 1
         for w in text_widths:
-            tokens = np.zeros((self.image_buckets[-1], min(int(w), ctx)), np.int32)
-            tokens[:, 0] = 1  # a nonzero EOT so pooling indexes sanely
-            last = self._txt_fn(self.variables, jnp.asarray(tokens))
-            count += 1
+            for b in self.image_buckets:  # text batches bucket the same way
+                tokens = np.zeros((b, min(int(w), ctx)), np.int32)
+                tokens[:, 0] = 1  # a nonzero EOT so pooling indexes sanely
+                last = self._txt_fn(self.variables, jnp.asarray(tokens))
+                count += 1
         if last is not None:
             # Only a host transfer synchronizes on the tunneled TPU platform.
             float(jax.device_get(last.ravel()[0]))

@@ -202,6 +202,24 @@ def _latest_checkpoint(save_dir: str):
     return best[1] if best else None
 
 
+def _prune_step_checkpoints(save_dir: str, keep: int = 2) -> None:
+    """Delete superseded step-checkpoint dirs, keeping the ``keep`` newest
+    by ordering key.  Epoch checkpoints are never touched.  ``keep=2``
+    pairs with async saves: the newest may still be committing, the one
+    before it is the last known-committed fallback."""
+    import shutil
+
+    entries = []
+    for d in os.listdir(save_dir):
+        if not d.startswith("checkpoint_"):
+            continue
+        e, sep, s = d[len("checkpoint_") :].partition("_step_")
+        if sep and e.isdigit() and s.isdigit():
+            entries.append(((int(e), int(s)), os.path.join(save_dir, d)))
+    for _, path in sorted(entries)[: max(0, len(entries) - keep)]:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _global_host_state(tree):
     """Fetch a (possibly sharded) device pytree to host numpy on EVERY host.
 
@@ -276,6 +294,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 "--save_every_n_steps/--max_steps need the threads/native CSV "
                 "backend (deterministic mid-epoch fast-forward); "
                 f"data_backend={cfg.data_backend!r} or webdataset streams are unsupported"
+            )
+        if cfg.progress:
+            raise ValueError(
+                "--save_every_n_steps/--max_steps with --progress is unsupported: "
+                "progress-driven guidance selection holds host state (last_perform, "
+                "the exploration RNG) that step checkpoints do not carry, so a "
+                "resumed run could choose a different guidance and silently diverge"
             )
 
     import ml_dtypes
@@ -458,6 +483,22 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 start_epoch = cursor.epoch + 1
                 if cfg.curriculum and cur_guidance is not None:
                     ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
+            # stats.tsv is rewritten from the in-memory list at each epoch
+            # end; reload the completed epochs' rows so a resumed run keeps
+            # the cumulative file instead of silently dropping pre-resume
+            # history (the production preemption setup reuses one log_dir).
+            stats_path = os.path.join(log_dir, "stats.tsv")
+            if os.path.isfile(stats_path):
+                prev = pd.read_csv(stats_path, sep="\t", index_col=0)
+                for _, row in prev.iterrows():
+                    if not row.get("Epoch", -1) < start_epoch:
+                        continue
+                    r = row.dropna().to_dict()
+                    for k in ("Epoch", "epoch"):
+                        # iterrows upcasts whole rows to float; epochs are ints.
+                        if k in r:
+                            r[k] = int(r[k])
+                    stats.append(r)
 
     drestart_done = False
     steps_this_run = 0
@@ -492,6 +533,15 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 cur_guidance_id = list_guidance.index(100)
                 cur_str_times = 1
                 ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, None)
+                # Keep the step-checkpoint bookkeeping consistent with the
+                # rollover path: this is a NEW pass (fresh shuffle stream,
+                # zero batches consumed, no ori-mixing) — a step checkpoint
+                # saved inside it must rebuild THIS loader state, not the
+                # pre-restart one.
+                cur_proportion = None
+                data_pass += 1
+                batch_in_pass = 0
+                ft_loader.set_epoch(data_pass)
                 ft_iterator = device_iter(ft_loader)
 
         logger.info(f"Epoch : {epoch}")
@@ -604,7 +654,8 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             steps_this_run += 1
             hit_budget = bool(cfg.max_steps) and steps_this_run >= cfg.max_steps
             periodic = (
-                cfg.save_every_n_steps
+                cfg.save is not None  # without a save dir the sync would buy nothing
+                and cfg.save_every_n_steps
                 and (i + 1) % cfg.save_every_n_steps == 0
                 and i + 1 < num_batches  # the epoch checkpoint follows anyway
             )
@@ -632,6 +683,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                             ),
                         )
                         logger.info("Saving step checkpoint to " + step_path)
+                        # Superseded step checkpoints (full params+moments
+                        # payloads) would grow disk without bound on a long
+                        # preemptible run.  AsyncCheckpointer.save blocks on
+                        # the PREVIOUS commit, so keeping the 2 newest keys
+                        # always preserves one fully-committed fallback even
+                        # if the just-requested write never lands.
+                        _prune_step_checkpoints(cfg.save, keep=2)
                     model_path = step_path
             if hit_budget:
                 logger.info(f"max_steps={cfg.max_steps} reached at epoch {epoch} step {i}; exiting")
@@ -667,6 +725,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 # return sites wait_for_saves() so nothing outlives the run.
                 save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
                 logger.info("Saving model to " + str(model_path))
+                # The epoch checkpoint supersedes this epoch's step saves;
+                # keep 1 as the committed fallback while this write lands.
+                _prune_step_checkpoints(cfg.save, keep=1)
 
         # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------
         if cfg.progress_train:

@@ -91,8 +91,10 @@ def test_latest_checkpoint_ordering(tmp_path):
 
 
 def test_max_steps_resume_is_bitwise_exact(corpus, tmp_path):  # noqa: F811
-    """Interrupt at step 3 of epoch 0 (of 2x4 steps), auto-resume, and the
-    final checkpoints AND stats.tsv match the uninterrupted run bitwise."""
+    """Interrupt TWICE (mid epoch 0, then mid epoch 1) with one shared
+    save/log dir — the production preemption setup — and the final
+    checkpoints AND the cumulative stats.tsv match the uninterrupted run
+    bitwise."""
     base = dict(epochs=2, seed=0)
 
     # Uninterrupted reference run.
@@ -100,8 +102,8 @@ def test_max_steps_resume_is_bitwise_exact(corpus, tmp_path):  # noqa: F811
     cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "ckpt_a"), log_dir=str(tmp_path / "log_a"), **base)
     flyp_train(cfg_a, model=model, variables=variables, print_every=2)
 
-    # Interrupted run: a periodic step checkpoint at step 1, the budget exit
-    # at step 2 (steps_this_run=3 => i=2), then a fresh invocation resumes.
+    # Interruption 1: a periodic step checkpoint at step 1, the budget exit
+    # at step 2 (steps_this_run=3 => i=2).
     model, variables = tiny_model()
     cfg_b = make_cfg(
         corpus, tmp_path, save=str(tmp_path / "ckpt_b"), log_dir=str(tmp_path / "log_b"),
@@ -112,11 +114,25 @@ def test_max_steps_resume_is_bitwise_exact(corpus, tmp_path):  # noqa: F811
     assert os.path.isdir(os.path.join(cfg_b.save, "checkpoint_0_step_1"))  # periodic
     assert not os.path.isdir(os.path.join(cfg_b.save, "checkpoint_0"))  # epoch 0 incomplete
 
+    # Interruption 2: resumes at (0, 3), completes epoch 0 (writing its
+    # stats row + epoch checkpoint), then stops at (1, 1).
     model, variables = tiny_model()
     cfg_b2 = make_cfg(
-        corpus, tmp_path, save=str(tmp_path / "ckpt_b"), log_dir=str(tmp_path / "log_b2"), **base
+        corpus, tmp_path, save=str(tmp_path / "ckpt_b"), log_dir=str(tmp_path / "log_b"),
+        max_steps=3, **base,
     )
-    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+    ret2 = flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret2) == "checkpoint_1_step_1"
+    # Superseded step checkpoints were pruned (epoch-0 save + the new step
+    # save); the committed fallback chain survives.
+    assert not os.path.isdir(os.path.join(cfg_b.save, "checkpoint_0_step_1"))
+
+    # Final invocation runs epoch 1 to completion.
+    model, variables = tiny_model()
+    cfg_b3 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "ckpt_b"), log_dir=str(tmp_path / "log_b"), **base
+    )
+    flyp_train(cfg_b3, model=model, variables=variables, print_every=2)
 
     for epoch in (0, 1):
         _assert_trees_equal(
@@ -124,10 +140,11 @@ def test_max_steps_resume_is_bitwise_exact(corpus, tmp_path):  # noqa: F811
             _raw_params(os.path.join(cfg_b.save, f"checkpoint_{epoch}")),
         )
 
-    # stats.tsv: the resumed epoch-0 row carries the restored partial loss
-    # sum, so per-epoch averages match the uninterrupted run exactly.
+    # stats.tsv: resumed epochs carry the restored partial loss sum, and the
+    # pre-resume rows are reloaded from the shared log dir, so the
+    # cumulative file matches the uninterrupted run's exactly.
     stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
-    stats_b = pd.read_csv(os.path.join(cfg_b2.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b.log_dir, "stats.tsv"), sep="\t")
     assert len(stats_b) == 2
     pd.testing.assert_frame_equal(stats_a, stats_b)
 
@@ -166,6 +183,41 @@ def test_curriculum_midpass_resume_exact(corpus, tmp_path):  # noqa: F811
     stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
     stats_b = pd.read_csv(os.path.join(cfg_b2.log_dir, "stats.tsv"), sep="\t")
     pd.testing.assert_frame_equal(stats_a, stats_b)
+
+
+def test_curriculum_epoch_restart_midpass_resume(corpus, tmp_path):  # noqa: F811
+    """Interrupt one batch into the guidance-100 pass that the
+    curriculum_epoch rollover starts at an epoch TOP (not a StopIteration
+    rollover) — the restart must reset the pass bookkeeping
+    (data_pass/batch_in_pass/proportion) so the step checkpoint rebuilds
+    the restarted loader, not the pre-restart one."""
+    base = dict(curriculum=True, curriculum_epoch=1, epochs=2, seed=0)
+
+    model, variables = tiny_model()
+    cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "ce_a"), log_dir=str(tmp_path / "celog_a"), **base)
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    # Epoch 0 runs 2 guidance-2 steps; epoch 1's top restarts onto guidance
+    # 100; budget 3 stops one batch into that restarted pass.
+    model, variables = tiny_model()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "ce_b"), log_dir=str(tmp_path / "celog_b"),
+        max_steps=3, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret) == "checkpoint_1_step_0"
+
+    model, variables = tiny_model()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "ce_b"), log_dir=str(tmp_path / "celog_b"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    for epoch in (0, 1):
+        _assert_trees_equal(
+            _raw_params(os.path.join(cfg_a.save, f"checkpoint_{epoch}")),
+            _raw_params(os.path.join(cfg_b.save, f"checkpoint_{epoch}")),
+        )
 
 
 def test_step_checkpoints_reject_streaming_backends(corpus, tmp_path):  # noqa: F811

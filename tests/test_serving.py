@@ -107,6 +107,10 @@ def test_classify_and_top_k():
     np.testing.assert_allclose(probs[:, 0], full.max(axis=1), rtol=1e-6)
     assert (idx[:, 0] == full.argmax(axis=1)).all()
 
+    # k clamps to the class count instead of silently under-filling.
+    probs10, idx10 = srv.top_k(imgs, k=10)
+    assert probs10.shape == idx10.shape == (5, 7)
+
     headless = ClipServer(model, variables, image_buckets=(4,))
     with pytest.raises(ValueError, match="head"):
         headless.classify(imgs)
@@ -157,7 +161,7 @@ def test_warmup_counts_programs():
         np.asarray(np.eye(3, model.config.embed_dim), np.float32), normalize=True
     )
     srv = ClipServer(model, variables, head=head, image_buckets=(4, 8))
-    # 2 buckets x (features + logits) + 2 text widths
-    assert srv.warmup(text_widths=(16, 32)) == 6
+    # 2 buckets x (features + logits) + the full 2-width x 2-bucket text grid
+    assert srv.warmup(text_widths=(16, 32)) == 8
     srv_nohead = ClipServer(model, variables, image_buckets=(4,))
     assert srv_nohead.warmup(text_widths=(16,)) == 2
