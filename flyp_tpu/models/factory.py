@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from flyp_tpu.models.clip import CLIPModel, init_clip_variables
@@ -57,7 +58,24 @@ def build_clip_model(
     variables = dict(init_clip_variables(model, cfg.seed))
 
     if load_path and os.path.isdir(load_path):
-        from flyp_tpu.utils.checkpoint import restore_params
+        from flyp_tpu.utils.checkpoint import _checkpointer
 
-        variables["params"] = restore_params(load_path, variables["params"])
+        restored = _checkpointer().restore(os.path.abspath(load_path))
+        if isinstance(restored, dict) and "params" in restored and "step" in restored:
+            # A trainer checkpoint_{epoch}[_step_{i}] payload (the
+            # cont_finetune / eval-a-run flow): take the model collections,
+            # drop optimizer + cursor state.
+            new_params, new_stats = restored["params"], restored.get("batch_stats") or None
+        else:  # bare param tree (save_params)
+            new_params, new_stats = restored, None
+        if jax.tree_util.tree_structure(new_params) != jax.tree_util.tree_structure(
+            dict(variables["params"])
+        ):
+            raise ValueError(
+                f"--clip_load checkpoint at {load_path} does not match model "
+                f"{cfg.model}: parameter tree structures differ"
+            )
+        variables["params"] = new_params
+        if new_stats is not None:
+            variables["batch_stats"] = new_stats
     return model, variables

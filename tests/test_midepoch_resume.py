@@ -225,3 +225,47 @@ def test_step_checkpoints_reject_streaming_backends(corpus, tmp_path):  # noqa: 
     cfg = make_cfg(corpus, tmp_path, save_every_n_steps=2, data_backend="grain")
     with pytest.raises(ValueError, match="threads/native"):
         flyp_train(cfg, model=model, variables=variables)
+
+
+def test_step_checkpoints_reject_progress(corpus, tmp_path):  # noqa: F811
+    model, variables = tiny_model()
+    cfg = make_cfg(corpus, tmp_path, max_steps=2, curriculum=True, progress=True)
+    with pytest.raises(ValueError, match="progress"):
+        flyp_train(cfg, model=model, variables=variables)
+
+
+def test_clip_load_reads_trainer_and_bare_checkpoints(tmp_path):
+    """--clip_load accepts BOTH payload layouts: a trainer
+    checkpoint_{e}[_step_{i}] dir (the cont_finetune / evaluate-a-run flow,
+    model collections extracted, optimizer+cursor dropped) and a bare param
+    tree from save_params; a structure mismatch raises a clear error."""
+    from flyp_tpu.config import ExperimentConfig
+    from flyp_tpu.models.factory import build_clip_model
+    from flyp_tpu.training.train_state import create_train_state, make_optimizer
+    from flyp_tpu.utils.checkpoint import (
+        CurriculumCursor,
+        StepCursor,
+        save_checkpoint,
+        save_params,
+    )
+
+    model, variables = tiny_model()
+    # Shift params so a successful load is distinguishable from re-init.
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x) + 1.0, variables["params"])
+    state = create_train_state(params, make_optimizer(lambda s: 1e-3, 0.1, "float32"), None)
+
+    full_dir = str(tmp_path / "full_ckpt")
+    save_checkpoint(full_dir, state, CurriculumCursor(0), mid=StepCursor(3, 1, 2, 0.5, -1.0))
+    bare_dir = str(tmp_path / "bare_ckpt")
+    save_params(bare_dir, params)
+
+    for path in (full_dir, bare_dir):
+        cfg = ExperimentConfig(model="ViT-B/16", clip_load=path, compute_dtype="float32")
+        _, loaded = build_clip_model(cfg, config_override=model.config)
+        _assert_trees_equal(loaded["params"], params)
+
+    bad_dir = str(tmp_path / "bad_ckpt")
+    save_params(bad_dir, {"only": np.zeros(3, np.float32)})
+    cfg = ExperimentConfig(model="ViT-B/16", clip_load=bad_dir, compute_dtype="float32")
+    with pytest.raises(ValueError, match="tree structures differ"):
+        build_clip_model(cfg, config_override=model.config)
