@@ -116,6 +116,12 @@ class ExperimentConfig:
     #: >0 exits cleanly after N steps this invocation, writing a step
     #: checkpoint when --save is set (slurm/maintenance-window budgets).
     max_steps: int = 0
+    #: Write a jax.profiler (XProf/TensorBoard) trace of a window of train
+    #: steps to this dir; the window skips the compile/warmup steps
+    #: (--profile_start_step, --profile_steps).
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_steps: int = 5
     remat: bool = False
     log_dir: Optional[str] = None
     data_backend: str = "threads"  # "threads" (PIL pool) | "tfdata" | "native" (C++ lib) | "grain"
@@ -195,6 +201,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_cache_chunks", type=int, default=1)
     p.add_argument("--save_every_n_steps", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--profile_start_step", type=int, default=10)
+    p.add_argument("--profile_steps", type=int, default=5)
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--data_backend", choices=["threads", "tfdata", "native", "grain"], default="threads")
     p.add_argument("--download_pretrained", action=argparse.BooleanOptionalAction, default=False)

@@ -502,6 +502,11 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
     drestart_done = False
     steps_this_run = 0
+    # --profile_dir: XProf trace of a steady-state step window (skips the
+    # compile/warmup steps); closed on EVERY exit path below.
+    from flyp_tpu.utils.profiling import StepWindowTrace
+
+    prof = StepWindowTrace(cfg.profile_dir, cfg.profile_start_step, cfg.profile_steps)
     ft_iterator = device_iter(ft_loader)
 
     for epoch in range(start_epoch, cfg.epochs):
@@ -642,6 +647,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 batch = next(ft_iterator)
                 batch_in_pass = 1
 
+            prof.step(steps_this_run)
             state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
             prev = lag.push(
@@ -693,6 +699,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     model_path = step_path
             if hit_budget:
                 logger.info(f"max_steps={cfg.max_steps} reached at epoch {epoch} step {i}; exiting")
+                prof.close()
                 sink.close()
                 wait_for_saves()
                 return model_path
@@ -745,6 +752,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 new_pairs = [[p[0], p[1], int(l)] for p, l in zip(loss_pairs, km.labels_)]
                 with open(os.path.join(log_dir, f"group_guid{epoch}.pkl"), "wb") as f:
                     pickle.dump(new_pairs, f)
+            prof.close()
             wait_for_saves()
             return model_path  # upstream exits here (`flyp_loss.py:579`)
 
@@ -787,6 +795,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
         sink.log(epoch_stats)
 
+    prof.close()
     sink.close()
     wait_for_saves()
     return model_path

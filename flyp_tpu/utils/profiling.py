@@ -56,6 +56,40 @@ def mfu(step_flops: float, step_time_s: float, device=None) -> float:
     return (step_flops / step_time_s) / device_peak_flops(device) if step_time_s > 0 else 0.0
 
 
+class StepWindowTrace:
+    """Capture a ``jax.profiler`` trace of a window of train steps.
+
+    ``--profile_dir`` wiring for the trainer loops: steps are counted per
+    invocation (so a resumed run can be profiled too); tracing starts
+    BEFORE step ``start`` dispatches (skipping the compile/warmup steps,
+    which would dwarf the steady-state timeline) and stops after ``n``
+    steps.  ``close()`` is idempotent and must be called on every trainer
+    exit path so an early ``--max_steps`` return still flushes the trace.
+    No-op when ``log_dir`` is falsy.
+    """
+
+    def __init__(self, log_dir: Optional[str], start: int = 10, n: int = 5):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop_after = start + max(1, n)
+        self._active = False
+
+    def step(self, i: int) -> None:
+        """Call with the 0-based step counter before dispatching step i."""
+        if not self.log_dir:
+            return
+        if not self._active and i == self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and i >= self.stop_after:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class StepTimer:
     """Synchronized step timing: ``timer.sync(scalar)`` fetches a scalar to
     force completion, then records the interval."""

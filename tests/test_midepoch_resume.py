@@ -234,6 +234,22 @@ def test_step_checkpoints_reject_progress(corpus, tmp_path):  # noqa: F811
         flyp_train(cfg, model=model, variables=variables)
 
 
+def test_profile_dir_writes_trace(corpus, tmp_path):  # noqa: F811
+    """--profile_dir captures an XProf trace of the configured step window,
+    including when --max_steps exits inside the window (close() flushes)."""
+    import glob
+
+    model, variables = tiny_model()
+    prof_dir = tmp_path / "trace"
+    cfg = make_cfg(
+        corpus, tmp_path,
+        profile_dir=str(prof_dir), profile_start_step=1, profile_steps=2, max_steps=2,
+        save=str(tmp_path / "pckpt"),
+    )
+    flyp_train(cfg, model=model, variables=variables, print_every=2)
+    assert glob.glob(str(prof_dir / "**" / "*.xplane.pb"), recursive=True)
+
+
 def test_clip_load_reads_trainer_and_bare_checkpoints(tmp_path):
     """--clip_load accepts BOTH payload layouts: a trainer
     checkpoint_{e}[_step_{i}] dir (the cont_finetune / evaluate-a-run flow,
