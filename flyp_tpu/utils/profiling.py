@@ -79,15 +79,29 @@ class StepWindowTrace:
         if not self.log_dir:
             return
         if not self._active and i == self.start:
-            jax.profiler.start_trace(self.log_dir)
+            try:
+                jax.profiler.start_trace(self.log_dir)
+            except Exception as e:  # pragma: no cover - platform-dependent
+                # An experimental/tunneled backend may not support device
+                # tracing; a long training run must not die for a trace.
+                import logging
+
+                logging.getLogger("flyp_tpu").warning(f"profiler trace unavailable: {e}")
+                self.log_dir = None
+                return
             self._active = True
         elif self._active and i >= self.stop_after:
             self.close()
 
     def close(self) -> None:
         if self._active:
-            jax.profiler.stop_trace()
             self._active = False
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # pragma: no cover - platform-dependent
+                import logging
+
+                logging.getLogger("flyp_tpu").warning(f"profiler trace flush failed: {e}")
 
 
 class StepTimer:

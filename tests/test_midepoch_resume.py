@@ -185,6 +185,59 @@ def test_curriculum_midpass_resume_exact(corpus, tmp_path):  # noqa: F811
     pd.testing.assert_frame_equal(stats_a, stats_b)
 
 
+def test_resnet_batchstats_resume_exact(corpus, tmp_path):  # noqa: F811
+    """BatchNorm running stats are trajectory state too: interrupt a tiny
+    RN50 run mid-epoch and the final checkpoint (params, moments, AND
+    batch_stats) matches the uninterrupted run bitwise."""
+    import dataclasses
+
+    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
+
+    def tiny_resnet():
+        cfg = MODEL_CONFIGS["RN50"]
+        cfg = dataclasses.replace(
+            cfg,
+            embed_dim=32,
+            vision=dataclasses.replace(
+                cfg.vision, image_size=32, width=16, heads=2, resnet_layers=(1, 1, 1, 1)
+            ),
+            text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2),
+        )
+        model = CLIPModel(cfg)
+        return model, dict(init_clip_variables(model, 0))
+
+    base = dict(epochs=1, seed=0)
+
+    model, variables = tiny_resnet()
+    assert "batch_stats" in variables
+    cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "rn_a"), log_dir=str(tmp_path / "rnlog_a"), **base)
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    model, variables = tiny_resnet()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "rn_b"), log_dir=str(tmp_path / "rnlog_b"),
+        max_steps=2, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret) == "checkpoint_0_step_1"
+
+    model, variables = tiny_resnet()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "rn_b"), log_dir=str(tmp_path / "rnlog_b"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    import orbax.checkpoint as ocp
+
+    a = ocp.PyTreeCheckpointer().restore(os.path.abspath(os.path.join(cfg_a.save, "checkpoint_0")))
+    b = ocp.PyTreeCheckpointer().restore(os.path.abspath(os.path.join(cfg_b.save, "checkpoint_0")))
+    assert a["batch_stats"], "RN50 checkpoint must carry BN running stats"
+    _assert_trees_equal(
+        {"p": a["params"], "o": a["opt_state"], "bn": a["batch_stats"]},
+        {"p": b["params"], "o": b["opt_state"], "bn": b["batch_stats"]},
+    )
+
+
 def test_curriculum_epoch_restart_midpass_resume(corpus, tmp_path):  # noqa: F811
     """Interrupt one batch into the guidance-100 pass that the
     curriculum_epoch rollover starts at an epoch TOP (not a StopIteration
