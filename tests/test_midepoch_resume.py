@@ -238,6 +238,38 @@ def test_resnet_batchstats_resume_exact(corpus, tmp_path):  # noqa: F811
     )
 
 
+def test_grad_cache_midepoch_resume_exact(corpus, tmp_path):  # noqa: F811
+    """--grad_cache_chunks composes with step checkpoints: the chunked step
+    is a pure function of (state, batch), so interrupting a chunked run and
+    resuming continues the bitwise-identical trajectory."""
+    base = dict(epochs=1, seed=0, grad_cache_chunks=2)
+
+    model, variables = tiny_model()
+    cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "gc_a"), log_dir=str(tmp_path / "gclog_a"), **base)
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    model, variables = tiny_model()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "gc_b"), log_dir=str(tmp_path / "gclog_b"),
+        max_steps=2, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret) == "checkpoint_0_step_1"
+
+    model, variables = tiny_model()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "gc_b"), log_dir=str(tmp_path / "gclog_b"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    a = _raw_params(os.path.join(cfg_a.save, "checkpoint_0"))
+    b = _raw_params(os.path.join(cfg_b.save, "checkpoint_0"))
+    _assert_trees_equal(a, b)
+    stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b.log_dir, "stats.tsv"), sep="\t")
+    pd.testing.assert_frame_equal(stats_a, stats_b)
+
+
 def test_curriculum_epoch_restart_midpass_resume(corpus, tmp_path):  # noqa: F811
     """Interrupt one batch into the guidance-100 pass that the
     curriculum_epoch rollover starts at an epoch TOP (not a StopIteration
