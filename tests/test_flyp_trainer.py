@@ -26,6 +26,23 @@ def tiny_model():
     return model, {"params": init_clip_params(model, 0)}
 
 
+def tiny_resnet():
+    """Tiny RN50-family model (BatchNorm tower => variables carry batch_stats)."""
+    from flyp_tpu.models import init_clip_variables
+
+    cfg = MODEL_CONFIGS["RN50"]
+    cfg = dataclasses.replace(
+        cfg,
+        embed_dim=32,
+        vision=dataclasses.replace(
+            cfg.vision, image_size=32, width=16, heads=2, resnet_layers=(1, 1, 1, 1)
+        ),
+        text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2),
+    )
+    model = CLIPModel(cfg)
+    return model, dict(init_clip_variables(model, 0))
+
+
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     """Synthetic patchcamelyon folder tree + contrastive TSV with guidance."""

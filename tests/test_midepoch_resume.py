@@ -189,22 +189,7 @@ def test_resnet_batchstats_resume_exact(corpus, tmp_path):  # noqa: F811
     """BatchNorm running stats are trajectory state too: interrupt a tiny
     RN50 run mid-epoch and the final checkpoint (params, moments, AND
     batch_stats) matches the uninterrupted run bitwise."""
-    import dataclasses
-
-    from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_variables
-
-    def tiny_resnet():
-        cfg = MODEL_CONFIGS["RN50"]
-        cfg = dataclasses.replace(
-            cfg,
-            embed_dim=32,
-            vision=dataclasses.replace(
-                cfg.vision, image_size=32, width=16, heads=2, resnet_layers=(1, 1, 1, 1)
-            ),
-            text=dataclasses.replace(cfg.text, width=64, heads=1, layers=2),
-        )
-        model = CLIPModel(cfg)
-        return model, dict(init_clip_variables(model, 0))
+    from tests.test_flyp_trainer import tiny_resnet
 
     base = dict(epochs=1, seed=0)
 

@@ -153,6 +153,34 @@ def test_stream_matches_batch_calls(server):
         list(server.stream_features([_images(9)]))
 
 
+def test_resnet_tower_serving_exact():
+    """BN towers serve correctly: batch_stats ride along in ``variables`` and
+    the forward uses RUNNING statistics (inference-mode BN), so a row's
+    feature is independent of the padding rows — the pad-no-leak guarantee
+    would break under train-mode BN.  Classify stays bitwise-equal to the
+    evaluator path for RN50 too."""
+    from flyp_tpu.evaluation.classifier import Classifier
+    from flyp_tpu.evaluation.zeroshot import get_zeroshot_classifier
+
+    from tests.test_flyp_trainer import tiny_resnet
+
+    model, variables = tiny_resnet()
+    assert "batch_stats" in variables
+    classnames = ["cat", "dog", "bird"]
+    template = [lambda c: f"a photo of a {c}."]
+    srv = ClipServer.for_classification(
+        model, variables, classnames, template, image_buckets=(4, 8)
+    )
+    imgs = _images(6, seed=8)
+    # Pad rows can't leak through BatchNorm (same [4] program, different pad).
+    np.testing.assert_array_equal(
+        srv.encode_images(imgs[:3]), srv.encode_images(imgs[:4])[:3]
+    )
+    head = get_zeroshot_classifier(model, variables, classnames, template)
+    clf = Classifier(model, variables, head, batch_size=8)
+    np.testing.assert_array_equal(srv.classify(imgs), clf.predict_logits(imgs))
+
+
 def test_warmup_counts_programs():
     model, variables = tiny_model()
     from flyp_tpu.models.head import ClassificationHead
