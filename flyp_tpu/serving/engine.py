@@ -117,6 +117,43 @@ class ClipServer:
         head = get_zeroshot_classifier(model, variables, classnames, template)
         return cls(model, variables, head=head, **kwargs)
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        model: str = "ViT-B/16",
+        classnames: Optional[Sequence[str]] = None,
+        template=None,
+        compute_dtype: str = "bfloat16",
+        config_override=None,
+        **kwargs,
+    ) -> "ClipServer":
+        """One call from a training artifact to a running server.
+
+        ``path`` accepts everything ``--clip_load`` does (models/factory.py
+        sniffs the layout): a trainer ``checkpoint_{e}`` /
+        ``checkpoint_{e}_step_{i}`` directory (optimizer + cursor state
+        dropped, batch_stats kept for BN towers), a bare ``save_params``
+        tree, or a torch CLIP ``.pt``/``.bin`` via the converter.  Pass
+        ``classnames`` (+ ``template``) to also build the zero-shot head.
+        ``compute_dtype`` defaults to the measured serving configuration
+        (bf16, docs/SERVING.md); use ``"float32"`` for bitwise CPU parity
+        with fp32 evaluators.
+        """
+        from types import SimpleNamespace
+
+        from flyp_tpu.models.factory import build_clip_model
+
+        cfg = SimpleNamespace(
+            model=model, clip_load=path, compute_dtype=compute_dtype, remat=False, seed=0
+        )
+        clip_model, variables = build_clip_model(cfg, config_override=config_override)
+        if classnames is not None:
+            if template is None:
+                template = [lambda c: f"a photo of a {c}."]
+            return cls.for_classification(clip_model, variables, classnames, template, **kwargs)
+        return cls(clip_model, variables, **kwargs)
+
     # -- bucketing -----------------------------------------------------------
 
     def bucket_for(self, n: int) -> int:

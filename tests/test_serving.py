@@ -181,6 +181,40 @@ def test_resnet_tower_serving_exact():
     np.testing.assert_array_equal(srv.classify(imgs), clf.predict_logits(imgs))
 
 
+def test_from_checkpoint_serves_trainer_payloads(tmp_path):
+    """ClipServer.from_checkpoint accepts every --clip_load artifact layout
+    (epoch payload, step payload, bare param tree) and serves features
+    bitwise-equal to a server built from the in-memory variables."""
+    import optax
+
+    from flyp_tpu.training.train_state import create_train_state
+    from flyp_tpu.utils.checkpoint import StepCursor, save_checkpoint, save_params
+
+    from tests.test_flyp_trainer import tiny_resnet
+
+    model, variables = tiny_resnet()
+    state = create_train_state(variables["params"], optax.adamw(1e-3), variables.get("batch_stats"))
+    p_epoch = save_checkpoint(str(tmp_path / "checkpoint_0"), state)
+    p_step = save_checkpoint(str(tmp_path / "checkpoint_0_step_2"), state, mid=StepCursor())
+    p_bare = save_params(str(tmp_path / "bare"), variables["params"])
+
+    imgs = _images(3, seed=9)
+    want = ClipServer(model, variables, image_buckets=(4,)).encode_images(imgs)
+    for path in (p_epoch, p_step, p_bare):
+        srv = ClipServer.from_checkpoint(
+            path, compute_dtype="float32", config_override=model.config, image_buckets=(4,)
+        )
+        assert "batch_stats" in srv.variables  # BN tower stats survive the load
+        np.testing.assert_array_equal(srv.encode_images(imgs), want)
+
+    # classnames shortcut builds the zero-shot head in the same call.
+    srv = ClipServer.from_checkpoint(
+        p_step, classnames=["cat", "dog"], compute_dtype="float32",
+        config_override=model.config, image_buckets=(4,),
+    )
+    assert srv.classify(imgs).shape == (3, 2)
+
+
 def test_warmup_counts_programs():
     model, variables = tiny_model()
     from flyp_tpu.models.head import ClassificationHead
