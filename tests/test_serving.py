@@ -215,6 +215,76 @@ def test_from_checkpoint_serves_trainer_payloads(tmp_path):
     assert srv.classify(imgs).shape == (3, 2)
 
 
+def test_serve_cli(tmp_path):
+    """python -m flyp_tpu.cli.serve: checkpoint -> predictions TSV and
+    features .npz, using the same ClipServer path the API exposes."""
+    import optax
+    from PIL import Image
+
+    from flyp_tpu.cli.serve import collect_image_paths, main
+    from flyp_tpu.training.train_state import create_train_state
+    from flyp_tpu.utils.checkpoint import save_checkpoint
+
+    from tests.test_flyp_trainer import tiny_model
+
+    model, variables = tiny_model()
+    state = create_train_state(variables["params"], optax.adamw(1e-3))
+    ckpt = save_checkpoint(str(tmp_path / "checkpoint_0"), state)
+
+    img_dir = tmp_path / "imgs" / "sub"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            img_dir / f"{i}.png"
+        )
+    (img_dir / "notes.txt").write_text("ignored")
+    paths = collect_image_paths([str(tmp_path / "imgs")])
+    assert len(paths) == 5
+
+    out = tmp_path / "preds.tsv"
+    rc = main(
+        [
+            "--checkpoint", ckpt, "--images", str(tmp_path / "imgs"),
+            "--classnames", "cat,dog,bird", "--top-k", "2",
+            "--image-buckets", "4,8", "--compute-dtype", "float32",
+            "--output", str(out),
+        ],
+        config_override=model.config,
+    )
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(out, sep="\t")
+    assert list(df.columns) == ["path", "pred", "prob", "top1", "top2"]
+    assert len(df) == 5 and (df["pred"] == df["top1"]).all()
+    assert df["prob"].between(1 / 3, 1.0).all()
+
+    feats = tmp_path / "feats.npz"
+    rc = main(
+        [
+            "--checkpoint", ckpt, "--images", str(tmp_path / "imgs"),
+            "--features", str(feats), "--image-buckets", "4,8",
+            "--compute-dtype", "float32",
+        ],
+        config_override=model.config,
+    )
+    assert rc == 0
+    z = np.load(feats, allow_pickle=False)
+    assert z["features"].shape == (5, model.config.embed_dim)
+    assert list(z["paths"]) == paths
+    # Feature rows match the server API for the same preprocessing.
+    from flyp_tpu.data.transforms import eval_transform
+
+    tf = eval_transform(model.config.vision.image_size)
+    imgs = np.stack([tf(Image.open(p)) for p in paths])
+    srv = ClipServer(model, variables, image_buckets=(4, 8))
+    np.testing.assert_array_equal(z["features"], srv.encode_images(imgs))
+
+    with pytest.raises(SystemExit, match="classnames"):
+        main(["--checkpoint", ckpt, "--images", str(tmp_path / "imgs")])
+
+
 def test_warmup_counts_programs():
     model, variables = tiny_model()
     from flyp_tpu.models.head import ClassificationHead
