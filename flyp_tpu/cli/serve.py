@@ -27,7 +27,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Sequence
 
 import numpy as np
 
@@ -54,21 +54,18 @@ def collect_image_paths(inputs: Sequence[str]) -> List[str]:
     return out
 
 
-def decoded_batches(
-    paths: Sequence[str], image_size: int, batch: int
-) -> Iterator[Tuple[List[str], np.ndarray]]:
-    """Yield (paths, [n, H, W, 3] float32) batches via the eval transform
+def decoded_batches(paths: Sequence[str], image_size: int, batch: int) -> Iterator[np.ndarray]:
+    """Yield [n, H, W, 3] float32 batches via the eval transform
     (resize-shortest + center-crop + CLIP normalization — the same
-    preprocessing the evaluator uses, data/transforms.py)."""
+    preprocessing the evaluator uses, data/transforms.py).  Batch spans
+    match :func:`_rebatch_paths` for the same (paths, batch)."""
     from PIL import Image
 
     from flyp_tpu.data.transforms import eval_transform
 
     tf = eval_transform(image_size)
-    for i in range(0, len(paths), batch):
-        chunk = list(paths[i : i + batch])
-        imgs = np.stack([tf(Image.open(p)) for p in chunk])
-        yield chunk, imgs
+    for chunk in _rebatch_paths(paths, batch):
+        yield np.stack([tf(Image.open(p)) for p in chunk])
 
 
 def _resolve_classnames(args) -> List[str]:
@@ -84,11 +81,12 @@ def _resolve_classnames(args) -> List[str]:
 
 
 def _resolve_template(args):
+    """None falls through to from_checkpoint's default (simple_template)."""
     if args.template:
         from flyp_tpu.templates import get_template
 
         return get_template(args.template)
-    return [lambda c: f"a photo of a {c}."]
+    return None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -121,6 +119,8 @@ def main(argv=None, config_override=None) -> int:
     if args.features is None and not (args.classnames or args.train_dataset):
         raise SystemExit("classification needs --classnames or --train-dataset "
                          "(or pass --features to dump embeddings)")
+    if args.top_k < 1:
+        raise SystemExit(f"--top-k must be >= 1, got {args.top_k}")
 
     from flyp_tpu.serving import ClipServer
 
@@ -142,13 +142,9 @@ def main(argv=None, config_override=None) -> int:
     batches = decoded_batches(paths, srv.model.config.vision.image_size, buckets[-1])
 
     if args.features:
-        feats, done = [], 0
-        for chunk, f in zip(_rebatch_paths(paths, buckets[-1]),
-                            srv.stream_features(imgs for _p, imgs in batches)):
-            feats.append(np.asarray(f))
-            done += len(chunk)
+        feats = [np.asarray(f) for f in srv.stream_features(batches)]
         np.savez(args.features, features=np.concatenate(feats), paths=np.array(paths))
-        print(f"wrote {done} features -> {args.features}")
+        print(f"wrote {len(paths)} features -> {args.features}")
         return 0
 
     k = min(args.top_k, len(classnames))
@@ -157,7 +153,7 @@ def main(argv=None, config_override=None) -> int:
         header = ["path", "pred", "prob"] + [f"top{i + 1}" for i in range(k)]
         print("\t".join(header), file=out)
         for chunk, logits in zip(_rebatch_paths(paths, buckets[-1]),
-                                 srv.stream_logits(imgs for _p, imgs in batches)):
+                                 srv.stream_logits(batches)):
             logits = np.asarray(logits, np.float32)
             probs = np.exp(logits - logits.max(axis=1, keepdims=True))
             probs /= probs.sum(axis=1, keepdims=True)

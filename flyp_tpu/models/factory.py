@@ -57,25 +57,83 @@ def build_clip_model(
     # params; dropping them breaks the mutable-BN apply on from-scratch runs.
     variables = dict(init_clip_variables(model, cfg.seed))
 
-    if load_path and os.path.isdir(load_path):
-        from flyp_tpu.utils.checkpoint import _checkpointer
-
-        restored = _checkpointer().restore(os.path.abspath(load_path))
-        if isinstance(restored, dict) and "params" in restored and "step" in restored:
-            # A trainer checkpoint_{epoch}[_step_{i}] payload (the
-            # cont_finetune / eval-a-run flow): take the model collections,
-            # drop optimizer + cursor state.
-            new_params, new_stats = restored["params"], restored.get("batch_stats") or None
-        else:  # bare param tree (save_params)
-            new_params, new_stats = restored, None
-        if jax.tree_util.tree_structure(new_params) != jax.tree_util.tree_structure(
-            dict(variables["params"])
-        ):
-            raise ValueError(
-                f"--clip_load checkpoint at {load_path} does not match model "
-                f"{cfg.model}: parameter tree structures differ"
+    if load_path:
+        if not os.path.isdir(load_path):
+            raise FileNotFoundError(
+                f"--clip_load path {load_path!r} is neither a torch .pt/.bin "
+                "file nor an orbax checkpoint directory"
             )
-        variables["params"] = new_params
-        if new_stats is not None:
-            variables["batch_stats"] = new_stats
+        variables = _load_checkpoint_dir(load_path, cfg.model, variables)
     return model, variables
+
+
+def _load_checkpoint_dir(load_path: str, model_name: str, variables: dict) -> dict:
+    """Restore model collections from an orbax directory into ``variables``.
+
+    Layout-sniffs from checkpoint METADATA (no tensor reads): either a
+    trainer ``checkpoint_{e}[_step_{i}]`` payload (utils/checkpoint.py) or a
+    bare ``save_params`` tree.  Only params (+batch_stats) are materialized
+    — a trainer payload's AdamW moments (~2x params of host RAM and I/O)
+    are never read.  Parameter leaf SHAPES are validated against the model
+    up front, so a same-family mismatch (e.g. a ViT-B/32 checkpoint into a
+    B/16 model — identical tree keys, different kernel/pos-embed shapes)
+    fails here with a named-leaf error instead of deep inside ``apply``.
+    """
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from flyp_tpu.utils.checkpoint import _checkpointer, restore_params, wait_for_saves
+
+    wait_for_saves()  # a just-async-written checkpoint must be committed first
+    tu = jax.tree_util
+    path = os.path.abspath(load_path)
+    ckptr = _checkpointer()
+    try:
+        meta = ckptr.metadata(path).item_metadata.tree
+    except Exception as e:
+        raise ValueError(
+            f"--clip_load path {load_path!r} is not a readable orbax checkpoint: {e}"
+        ) from e
+    is_trainer = isinstance(meta, dict) and "params" in meta and "step" in meta
+    params_meta = meta["params"] if is_trainer else meta
+    stats_meta = (meta.get("batch_stats") or None) if is_trainer else None
+
+    model_params = dict(variables["params"])
+    if tu.tree_structure(params_meta) != tu.tree_structure(model_params):
+        raise ValueError(
+            f"--clip_load checkpoint at {load_path} does not match model "
+            f"{model_name}: parameter tree structures differ"
+        )
+    flat_meta = tu.tree_flatten_with_path(params_meta)[0]
+    mismatches = [
+        f"{tu.keystr(kp)}: saved {tuple(m.shape)} vs model {tuple(np.shape(x))}"
+        for (kp, m), x in zip(flat_meta, tu.tree_leaves(model_params))
+        if tuple(m.shape) != tuple(np.shape(x))
+    ]
+    if mismatches:
+        raise ValueError(
+            f"--clip_load checkpoint at {load_path} does not match model "
+            f"{model_name}: parameter shapes differ — " + "; ".join(mismatches[:5])
+        )
+    model_stats = variables.get("batch_stats")
+    if model_stats is not None and stats_meta is None:
+        raise ValueError(
+            f"--clip_load checkpoint at {load_path} carries no batch_stats but "
+            f"model {model_name} has BatchNorm towers: serving trained conv "
+            "weights with fresh running statistics would be silently wrong. "
+            "Load a trainer checkpoint or a torch .pt (both carry BN stats)."
+        )
+
+    if is_trainer:
+        item = {"params": variables["params"]}
+        if model_stats is not None:
+            item["batch_stats"] = model_stats
+        restore_args = tu.tree_map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item)
+        restored = ckptr.restore(path, item=item, transforms={}, restore_args=restore_args)
+    else:  # bare param tree (save_params)
+        restored = {"params": restore_params(path, variables["params"])}
+    variables = dict(variables)
+    variables["params"] = restored["params"]
+    if model_stats is not None and "batch_stats" in restored:
+        variables["batch_stats"] = restored["batch_stats"]
+    return variables

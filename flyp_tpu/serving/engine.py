@@ -150,7 +150,9 @@ class ClipServer:
         clip_model, variables = build_clip_model(cfg, config_override=config_override)
         if classnames is not None:
             if template is None:
-                template = [lambda c: f"a photo of a {c}."]
+                from flyp_tpu.templates import simple_template
+
+                template = simple_template
             return cls.for_classification(clip_model, variables, classnames, template, **kwargs)
         return cls(clip_model, variables, **kwargs)
 

@@ -509,293 +509,297 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     prof = StepWindowTrace(cfg.profile_dir, cfg.profile_start_step, cfg.profile_steps)
     ft_iterator = device_iter(ft_loader)
 
-    for epoch in range(start_epoch, cfg.epochs):
-        # curriculum_epoch rollover to guidance-100 training (`flyp_loss.py:390-406`).
-        if cfg.curriculum_epoch is not None and epoch >= cfg.curriculum_epoch:
-            if cfg.scheduler == "drestart" and not drestart_done:
-                # Swap only the LR schedule, keeping Adam moments and the
-                # global step — the reference rebuilds the stateless cosine
-                # closure but never touches optimizer state
-                # (`flyp_loss.py:390-395`).
-                drestart_done = True
-                logger.info("Restart scheduler")
-                # Horizon = epochs - curriculum_epoch.  The reference writes
-                # `epochs - start_epoch - curriculum_epoch`
-                # (`flyp_loss.py:393-394`) but its resume is disabled, so
-                # start_epoch is always 0 there; subtracting a real resume
-                # epoch here would shrink the horizon (to <= 0 for late
-                # resumes, oscillating the cosine every step) and make a
-                # resumed trajectory diverge from an uninterrupted one.
-                schedule_r = make_scheduler(
-                    "default", cfg.lr, cfg.warmup_length,
-                    max(cfg.epochs - cfg.curriculum_epoch, 1), num_batches, cfg.min_lr,
-                )
-                optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
-                step_fn = build_step(optimizer)
-            if cur_guidance != 0 and cur_guidance != 100:
-                logger.info("Restart dataloader")
-                cur_guidance = 100
-                cur_guidance_id = list_guidance.index(100)
-                cur_str_times = 1
-                ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, None)
-                # Keep the step-checkpoint bookkeeping consistent with the
-                # rollover path: this is a NEW pass (fresh shuffle stream,
-                # zero batches consumed, no ori-mixing) — a step checkpoint
-                # saved inside it must rebuild THIS loader state, not the
-                # pre-restart one.
-                cur_proportion = None
-                data_pass += 1
-                batch_in_pass = 0
-                ft_loader.set_epoch(data_pass)
-                ft_iterator = device_iter(ft_loader)
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            # curriculum_epoch rollover to guidance-100 training (`flyp_loss.py:390-406`).
+            if cfg.curriculum_epoch is not None and epoch >= cfg.curriculum_epoch:
+                if cfg.scheduler == "drestart" and not drestart_done:
+                    # Swap only the LR schedule, keeping Adam moments and the
+                    # global step — the reference rebuilds the stateless cosine
+                    # closure but never touches optimizer state
+                    # (`flyp_loss.py:390-395`).
+                    drestart_done = True
+                    logger.info("Restart scheduler")
+                    # Horizon = epochs - curriculum_epoch.  The reference writes
+                    # `epochs - start_epoch - curriculum_epoch`
+                    # (`flyp_loss.py:393-394`) but its resume is disabled, so
+                    # start_epoch is always 0 there; subtracting a real resume
+                    # epoch here would shrink the horizon (to <= 0 for late
+                    # resumes, oscillating the cosine every step) and make a
+                    # resumed trajectory diverge from an uninterrupted one.
+                    schedule_r = make_scheduler(
+                        "default", cfg.lr, cfg.warmup_length,
+                        max(cfg.epochs - cfg.curriculum_epoch, 1), num_batches, cfg.min_lr,
+                    )
+                    optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
+                    step_fn = build_step(optimizer)
+                if cur_guidance != 0 and cur_guidance != 100:
+                    logger.info("Restart dataloader")
+                    cur_guidance = 100
+                    cur_guidance_id = list_guidance.index(100)
+                    cur_str_times = 1
+                    ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, None)
+                    # Keep the step-checkpoint bookkeeping consistent with the
+                    # rollover path: this is a NEW pass (fresh shuffle stream,
+                    # zero batches consumed, no ori-mixing) — a step checkpoint
+                    # saved inside it must rebuild THIS loader state, not the
+                    # pre-restart one.
+                    cur_proportion = None
+                    data_pass += 1
+                    batch_in_pass = 0
+                    ft_loader.set_epoch(data_pass)
+                    ft_iterator = device_iter(ft_loader)
 
-        logger.info(f"Epoch : {epoch}")
-        epoch_stats = {"Epoch": epoch, "epoch": epoch}
-        progress_ma: dict = {}
-        # Mid-epoch resume re-enters this epoch at the saved step with the
-        # saved partial loss sum, so stats.tsv matches an uninterrupted run.
-        start_step = resume_step if epoch == resume_epoch_mid else 0
-        id_flyp_loss_sum = resume_loss_sum if epoch == resume_epoch_mid else 0.0
+            logger.info(f"Epoch : {epoch}")
+            epoch_stats = {"Epoch": epoch, "epoch": epoch}
+            progress_ma: dict = {}
+            # Mid-epoch resume re-enters this epoch at the saved step with the
+            # saved partial loss sum, so stats.tsv matches an uninterrupted run.
+            start_step = resume_step if epoch == resume_epoch_mid else 0
+            id_flyp_loss_sum = resume_loss_sum if epoch == resume_epoch_mid else 0.0
 
-        # One-step-lagged metrics drain: converting the loss to a host float
-        # is the only per-step synchronization, and doing it immediately
-        # after the dispatch leaves the device idle from step-end until the
-        # host finishes the fetch + logging and enqueues the next step.
-        # Holding step i's metrics until step i+1 has been dispatched keeps
-        # one step always in flight (the fetch then overlaps device compute);
-        # the torch reference pays the bubble via per-step `.item()`
-        # (`flyp_loss.py:493-513`).  Costs: the non-finite-loss guard fires
-        # one step late (one extra wasted step, same traceback quality), and
-        # log lines trail dispatch by one step.
-        lag = OneStepLag()  # holds (step_idx, device metrics, img_ids-for-clustering)
+            # One-step-lagged metrics drain: converting the loss to a host float
+            # is the only per-step synchronization, and doing it immediately
+            # after the dispatch leaves the device idle from step-end until the
+            # host finishes the fetch + logging and enqueues the next step.
+            # Holding step i's metrics until step i+1 has been dispatched keeps
+            # one step always in flight (the fetch then overlaps device compute);
+            # the torch reference pays the bubble via per-step `.item()`
+            # (`flyp_loss.py:493-513`).  Costs: the non-finite-loss guard fires
+            # one step late (one extra wasted step, same traceback quality), and
+            # log lines trail dispatch by one step.
+            lag = OneStepLag()  # holds (step_idx, device metrics, img_ids-for-clustering)
 
-        def drain_metrics(pend):
-            nonlocal id_flyp_loss_sum
-            j, m, img_ids = pend
-            m = jax.device_get(m)  # ONE host transfer for every metric
-            loss_val = float(m["loss"])
-            if not np.isfinite(loss_val):
-                # Failure detection (SURVEY.md §5): surface divergence at the
-                # step it happens instead of training through NaNs.
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at epoch {epoch} step {j}; "
-                    f"lr={float(m['learning_rate']):.3e}"
-                )
-            id_flyp_loss_sum += loss_val
-            if img_ids is not None:
-                loss_pairs.extend(zip(img_ids.tolist(), np.asarray(m["per_item_loss"]).tolist()))
-            record = {
-                "Epoch": epoch,
-                "ID FLYP Loss": loss_val,
-                "Learning Rate": float(m["learning_rate"]),
-            }
-            if "grad_norm" in m:
-                # --log_grad_norm: the wandb.watch(log="gradients") analog
-                # (`flyp_loss.py:341`), computed in-step at no extra cost.
-                record["Gradient Norm"] = float(m["grad_norm"])
-            sink.log(record)
-            if j % print_every == 0:
-                pct = 100 * j / num_batches
-                logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {j}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
+            def drain_metrics(pend):
+                nonlocal id_flyp_loss_sum
+                j, m, img_ids = pend
+                m = jax.device_get(m)  # ONE host transfer for every metric
+                loss_val = float(m["loss"])
+                if not np.isfinite(loss_val):
+                    # Failure detection (SURVEY.md §5): surface divergence at the
+                    # step it happens instead of training through NaNs.
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at epoch {epoch} step {j}; "
+                        f"lr={float(m['learning_rate']):.3e}"
+                    )
+                id_flyp_loss_sum += loss_val
+                if img_ids is not None:
+                    loss_pairs.extend(zip(img_ids.tolist(), np.asarray(m["per_item_loss"]).tolist()))
+                record = {
+                    "Epoch": epoch,
+                    "ID FLYP Loss": loss_val,
+                    "Learning Rate": float(m["learning_rate"]),
+                }
+                if "grad_norm" in m:
+                    # --log_grad_norm: the wandb.watch(log="gradients") analog
+                    # (`flyp_loss.py:341`), computed in-step at no extra cost.
+                    record["Gradient Norm"] = float(m["grad_norm"])
+                sink.log(record)
+                if j % print_every == 0:
+                    pct = 100 * j / num_batches
+                    logger.info(f"Train Epoch: {epoch} [{pct:.0f}% {j}/{num_batches}]\tID FLYP Loss: {loss_val:.4f}")
 
-        for i in range(start_step, num_batches):
-            if cfg.test:
-                logger.info("Skipping training process")
-                break
+            for i in range(start_step, num_batches):
+                if cfg.test:
+                    logger.info("Skipping training process")
+                    break
 
-            try:
-                batch = next(ft_iterator)
-                batch_in_pass += 1
-            except StopIteration:
-                proportion = None
-                if cfg.curriculum:
-                    if cfg.curriculum_epoch is not None and epoch > cfg.curriculum_epoch:
-                        cur_guidance = 100
-                        cur_guidance_id = list_guidance.index(100)
-                        cur_str_times = 1
-                    else:
-                        if not cfg.progress:
-                            if cfg.curriculum_epoch is None:
-                                cur_guidance_id, cur_guidance = seq_curri_guid(
-                                    list_guidance, cur_guidance_id=cur_guidance_id, ctype="no_curri"
-                                )
-                            else:
-                                cur_guidance_id, cur_guidance, cur_str_times = seq_curri_guid(
-                                    list_guidance,
-                                    cur_guidance_id=cur_guidance_id,
-                                    cur_str_times=cur_str_times,
-                                    ctype="in_curri",
-                                    loop_times=loop_times,
-                                )
+                try:
+                    batch = next(ft_iterator)
+                    batch_in_pass += 1
+                except StopIteration:
+                    proportion = None
+                    if cfg.curriculum:
+                        if cfg.curriculum_epoch is not None and epoch > cfg.curriculum_epoch:
+                            cur_guidance = 100
+                            cur_guidance_id = list_guidance.index(100)
+                            cur_str_times = 1
                         else:
-                            res_progress, _, last_perform, _ = progress_eval(
-                                cfg, model, _host_variables(state), last_perform, epoch, logger
-                            )
-                            cur_guidance_id, cur_guidance = choose_guidance_by_progress(
-                                res_progress, list_guidance, cfg.explore, explore_rng
-                            )
-                            cur_str_times = 0
-                        if cfg.proportion and cfg.curriculum_epoch:
-                            proportion = 1 / cfg.curriculum_epoch * epoch
-                    ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, proportion)
-                    cur_proportion = proportion
-                # Advance the shuffle stream on every pass (torch reshuffles
-                # implicitly per DataLoader iteration; ours is explicit).
-                data_pass += 1
-                ft_loader.set_epoch(data_pass)
-                ft_iterator = device_iter(ft_loader)
-                batch = next(ft_iterator)
-                batch_in_pass = 1
+                            if not cfg.progress:
+                                if cfg.curriculum_epoch is None:
+                                    cur_guidance_id, cur_guidance = seq_curri_guid(
+                                        list_guidance, cur_guidance_id=cur_guidance_id, ctype="no_curri"
+                                    )
+                                else:
+                                    cur_guidance_id, cur_guidance, cur_str_times = seq_curri_guid(
+                                        list_guidance,
+                                        cur_guidance_id=cur_guidance_id,
+                                        cur_str_times=cur_str_times,
+                                        ctype="in_curri",
+                                        loop_times=loop_times,
+                                    )
+                            else:
+                                res_progress, _, last_perform, _ = progress_eval(
+                                    cfg, model, _host_variables(state), last_perform, epoch, logger
+                                )
+                                cur_guidance_id, cur_guidance = choose_guidance_by_progress(
+                                    res_progress, list_guidance, cfg.explore, explore_rng
+                                )
+                                cur_str_times = 0
+                            if cfg.proportion and cfg.curriculum_epoch:
+                                proportion = 1 / cfg.curriculum_epoch * epoch
+                        ft_loader = load_train_loader(epoch, cur_guidance, cur_str_times, proportion)
+                        cur_proportion = proportion
+                    # Advance the shuffle stream on every pass (torch reshuffles
+                    # implicitly per DataLoader iteration; ours is explicit).
+                    data_pass += 1
+                    ft_loader.set_epoch(data_pass)
+                    ft_iterator = device_iter(ft_loader)
+                    batch = next(ft_iterator)
+                    batch_in_pass = 1
 
-            prof.step(steps_this_run)
-            state, metrics = step_fn(state, batch["image"], batch["tokens"])
+                prof.step(steps_this_run)
+                state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
-            prev = lag.push(
-                (i, metrics, np.asarray(batch["img_id"]) if cfg.cluster == "loss" else None)
-            )
-            if prev is not None:
-                drain_metrics(prev)  # step i is in flight; fetch of i-1 overlaps it
-
-            # -- preemption safety: step checkpoints + clean step-budget exit.
-            steps_this_run += 1
-            hit_budget = bool(cfg.max_steps) and steps_this_run >= cfg.max_steps
-            periodic = (
-                cfg.save is not None  # without a save dir the sync would buy nothing
-                and cfg.save_every_n_steps
-                and (i + 1) % cfg.save_every_n_steps == 0
-                and i + 1 < num_batches  # the epoch checkpoint follows anyway
-            )
-            if hit_budget or periodic:
-                pend = lag.flush()  # fold step i's loss into the saved sum
-                if pend is not None:
-                    drain_metrics(pend)
-                if cfg.save is not None:
-                    step_path = os.path.join(cfg.save, f"checkpoint_{epoch}_step_{i}")
-                    # Collective fetch on ALL hosts, then single-writer save.
-                    ckpt_state = _global_host_state(state)
-                    if primary:
-                        os.makedirs(cfg.save, exist_ok=True)
-                        save_checkpoint(
-                            step_path,
-                            ckpt_state,
-                            CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id),
-                            async_save=True,
-                            mid=StepCursor(
-                                i,
-                                data_pass,
-                                batch_in_pass,
-                                id_flyp_loss_sum,
-                                -1.0 if cur_proportion is None else float(cur_proportion),
-                            ),
-                        )
-                        logger.info("Saving step checkpoint to " + step_path)
-                        # Superseded step checkpoints (full params+moments
-                        # payloads) would grow disk without bound on a long
-                        # preemptible run.  AsyncCheckpointer.save blocks on
-                        # the PREVIOUS commit, so keeping the 2 newest keys
-                        # always preserves one fully-committed fallback even
-                        # if the just-requested write never lands.
-                        _prune_step_checkpoints(cfg.save, keep=2)
-                    model_path = step_path
-            if hit_budget:
-                logger.info(f"max_steps={cfg.max_steps} reached at epoch {epoch} step {i}; exiting")
-                prof.close()
-                sink.close()
-                wait_for_saves()
-                return model_path
-
-            if cfg.ma_progress and (num_batches - i) % 100 == 0:
-                # Moving-average progress sampling every 100 batches
-                # (`flyp_loss.py:531-539`).
-                logger.info(f"Running progress evaluation for moving average with i={i}")
-                _, _, _, cur_stats = progress_eval(cfg, model, _host_variables(state), last_perform, epoch, logger)
-                for guid, value in cur_stats.items():
-                    progress_ma.setdefault(guid, []).append(value)
-
-        prev = lag.flush()
-        if prev is not None:
-            drain_metrics(prev)  # flush the last step's lagged metrics
-
-        id_flyp_loss_avg = id_flyp_loss_sum / max(num_batches, 1)
-        host_variables = _host_variables(state)
-
-        # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
-        if cfg.save is not None and not cfg.ma_progress:
-            model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
-            # Collective fetch on ALL hosts (sharded state spans processes
-            # under FSDP/TP); only the primary then writes.
-            ckpt_state = _global_host_state(state)
-            if primary:
-                os.makedirs(cfg.save, exist_ok=True)
-                cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
-                # Async: the commit overlaps the eval suites below; both
-                # return sites wait_for_saves() so nothing outlives the run.
-                save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
-                logger.info("Saving model to " + str(model_path))
-                # The epoch checkpoint supersedes this epoch's step saves;
-                # keep 1 as the committed fallback while this write lands.
-                _prune_step_checkpoints(cfg.save, keep=1)
-
-        # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------
-        if cfg.progress_train:
-            logger.info("Progress evaluation on training data ...")
-            dict_best_guid = progress_eval_train(cfg, model, host_variables, epoch, logger, progress_ma)
-            dict_best_guid["Epoch"] = epoch
-            if primary:
-                with open(os.path.join(log_dir, f"best_guid{epoch}.pkl"), "wb") as f:
-                    pickle.dump(dict_best_guid, f)
-            if cfg.cluster == "loss" and primary:
-                from sklearn.cluster import KMeans
-
-                arr = np.array([p[-1] for p in loss_pairs]).reshape(-1, 1)
-                km = KMeans(n_clusters=7, random_state=0, n_init=10).fit(arr)
-                new_pairs = [[p[0], p[1], int(l)] for p, l in zip(loss_pairs, km.labels_)]
-                with open(os.path.join(log_dir, f"group_guid{epoch}.pkl"), "wb") as f:
-                    pickle.dump(new_pairs, f)
-            prof.close()
-            wait_for_saves()
-            return model_path  # upstream exits here (`flyp_loss.py:579`)
-
-        # -- per-guidance progress dump (`flyp_loss.py:582-597`) --------------
-        if cfg.progress_eval:
-            logger.info("Progress evaluation ...")
-            _, str_progress, last_perform, _ = progress_eval(
-                cfg, model, host_variables, last_perform, epoch, logger, progress_ma
-            )
-            str_progress["Epoch"] = epoch
-            if primary:
-                pd.DataFrame.from_dict(str_progress, orient="index").to_csv(
-                    os.path.join(log_dir, f"progress{epoch}.tsv"), sep="\t"
+                prev = lag.push(
+                    (i, metrics, np.asarray(batch["img_id"]) if cfg.cluster == "loss" else None)
                 )
-                with open(os.path.join(log_dir, f"progress{epoch}.pkl"), "wb") as f:
-                    pickle.dump([last_perform, progress_ma], f)
+                if prev is not None:
+                    drain_metrics(prev)  # step i is in flight; fetch of i-1 overlaps it
 
-        # -- formal eval (`flyp_loss.py:600-668`) -----------------------------
-        if cfg.eval_datasets:
-            logger.info("Formal evaluation ...")
-            head = build_zeroshot_head(cfg, model, host_variables)
-            clf = Classifier(model, host_variables, head, batch_size=cfg.batch_size)
-            evaluate(clf, cfg, epoch_stats, logger)
-        else:
-            # Pure contrastive pretraining (e.g. LAION tar shards) has no
-            # class list to build a zero-shot head from.
-            logger.info("No eval datasets; skipping zero-shot evaluation")
+                # -- preemption safety: step checkpoints + clean step-budget exit.
+                steps_this_run += 1
+                hit_budget = bool(cfg.max_steps) and steps_this_run >= cfg.max_steps
+                periodic = (
+                    cfg.save is not None  # without a save dir the sync would buy nothing
+                    and cfg.save_every_n_steps
+                    and (i + 1) % cfg.save_every_n_steps == 0
+                    and i + 1 < num_batches  # the epoch checkpoint follows anyway
+                )
+                if hit_budget or periodic:
+                    pend = lag.flush()  # fold step i's loss into the saved sum
+                    if pend is not None:
+                        drain_metrics(pend)
+                    if cfg.save is not None:
+                        step_path = os.path.join(cfg.save, f"checkpoint_{epoch}_step_{i}")
+                        # Collective fetch on ALL hosts, then single-writer save.
+                        ckpt_state = _global_host_state(state)
+                        if primary:
+                            os.makedirs(cfg.save, exist_ok=True)
+                            save_checkpoint(
+                                step_path,
+                                ckpt_state,
+                                CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id),
+                                async_save=True,
+                                mid=StepCursor(
+                                    i,
+                                    data_pass,
+                                    batch_in_pass,
+                                    id_flyp_loss_sum,
+                                    -1.0 if cur_proportion is None else float(cur_proportion),
+                                ),
+                            )
+                            logger.info("Saving step checkpoint to " + step_path)
+                            # Superseded step checkpoints (full params+moments
+                            # payloads) would grow disk without bound on a long
+                            # preemptible run.  AsyncCheckpointer.save blocks on
+                            # the PREVIOUS commit, so keeping the 2 newest keys
+                            # always preserves one fully-committed fallback even
+                            # if the just-requested write never lands.
+                            _prune_step_checkpoints(cfg.save, keep=2)
+                        model_path = step_path
+                if hit_budget:
+                    logger.info(f"max_steps={cfg.max_steps} reached at epoch {epoch} step {i}; exiting")
+                    sink.close()
+                    wait_for_saves()
+                    return model_path
 
-        ood_acc = _avg_ood_acc(epoch_stats)
-        if cfg.eval_datasets and primary:
-            _write_class_stats(epoch_stats, cfg.eval_datasets, log_dir, epoch)
+                if cfg.ma_progress and (num_batches - i) % 100 == 0:
+                    # Moving-average progress sampling every 100 batches
+                    # (`flyp_loss.py:531-539`).
+                    logger.info(f"Running progress evaluation for moving average with i={i}")
+                    _, _, _, cur_stats = progress_eval(cfg, model, _host_variables(state), last_perform, epoch, logger)
+                    for guid, value in cur_stats.items():
+                        progress_ma.setdefault(guid, []).append(value)
 
-        epoch_stats["Avg OOD Acc"] = round(ood_acc, 4)
-        logger.info(f"Avg OOD Acc : {ood_acc:.4f}")
-        logger.info(f"Avg ID FLYP Loss : {id_flyp_loss_avg:.4f}")
-        epoch_stats["Avg ID FLYP Loss"] = round(id_flyp_loss_avg, 4)
-        epoch_stats = {k: v for k, v in epoch_stats.items() if " Class" not in k}
-        stats.append(epoch_stats)
-        if primary:
-            pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
-        sink.log(epoch_stats)
+            prev = lag.flush()
+            if prev is not None:
+                drain_metrics(prev)  # flush the last step's lagged metrics
 
-    prof.close()
+            id_flyp_loss_avg = id_flyp_loss_sum / max(num_batches, 1)
+            host_variables = _host_variables(state)
+
+            # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
+            if cfg.save is not None and not cfg.ma_progress:
+                model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
+                # Collective fetch on ALL hosts (sharded state spans processes
+                # under FSDP/TP); only the primary then writes.
+                ckpt_state = _global_host_state(state)
+                if primary:
+                    os.makedirs(cfg.save, exist_ok=True)
+                    cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
+                    # Async: the commit overlaps the eval suites below; both
+                    # return sites wait_for_saves() so nothing outlives the run.
+                    save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
+                    logger.info("Saving model to " + str(model_path))
+                    # The epoch checkpoint supersedes this epoch's step saves;
+                    # keep 1 as the committed fallback while this write lands.
+                    _prune_step_checkpoints(cfg.save, keep=1)
+
+            # -- per-image best-guidance scan (`flyp_loss.py:556-578`) ------------
+            if cfg.progress_train:
+                logger.info("Progress evaluation on training data ...")
+                dict_best_guid = progress_eval_train(cfg, model, host_variables, epoch, logger, progress_ma)
+                dict_best_guid["Epoch"] = epoch
+                if primary:
+                    with open(os.path.join(log_dir, f"best_guid{epoch}.pkl"), "wb") as f:
+                        pickle.dump(dict_best_guid, f)
+                if cfg.cluster == "loss" and primary:
+                    from sklearn.cluster import KMeans
+
+                    arr = np.array([p[-1] for p in loss_pairs]).reshape(-1, 1)
+                    km = KMeans(n_clusters=7, random_state=0, n_init=10).fit(arr)
+                    new_pairs = [[p[0], p[1], int(l)] for p, l in zip(loss_pairs, km.labels_)]
+                    with open(os.path.join(log_dir, f"group_guid{epoch}.pkl"), "wb") as f:
+                        pickle.dump(new_pairs, f)
+                wait_for_saves()
+                return model_path  # upstream exits here (`flyp_loss.py:579`)
+
+            # -- per-guidance progress dump (`flyp_loss.py:582-597`) --------------
+            if cfg.progress_eval:
+                logger.info("Progress evaluation ...")
+                _, str_progress, last_perform, _ = progress_eval(
+                    cfg, model, host_variables, last_perform, epoch, logger, progress_ma
+                )
+                str_progress["Epoch"] = epoch
+                if primary:
+                    pd.DataFrame.from_dict(str_progress, orient="index").to_csv(
+                        os.path.join(log_dir, f"progress{epoch}.tsv"), sep="\t"
+                    )
+                    with open(os.path.join(log_dir, f"progress{epoch}.pkl"), "wb") as f:
+                        pickle.dump([last_perform, progress_ma], f)
+
+            # -- formal eval (`flyp_loss.py:600-668`) -----------------------------
+            if cfg.eval_datasets:
+                logger.info("Formal evaluation ...")
+                head = build_zeroshot_head(cfg, model, host_variables)
+                clf = Classifier(model, host_variables, head, batch_size=cfg.batch_size)
+                evaluate(clf, cfg, epoch_stats, logger)
+            else:
+                # Pure contrastive pretraining (e.g. LAION tar shards) has no
+                # class list to build a zero-shot head from.
+                logger.info("No eval datasets; skipping zero-shot evaluation")
+
+            ood_acc = _avg_ood_acc(epoch_stats)
+            if cfg.eval_datasets and primary:
+                _write_class_stats(epoch_stats, cfg.eval_datasets, log_dir, epoch)
+
+            epoch_stats["Avg OOD Acc"] = round(ood_acc, 4)
+            logger.info(f"Avg OOD Acc : {ood_acc:.4f}")
+            logger.info(f"Avg ID FLYP Loss : {id_flyp_loss_avg:.4f}")
+            epoch_stats["Avg ID FLYP Loss"] = round(id_flyp_loss_avg, 4)
+            epoch_stats = {k: v for k, v in epoch_stats.items() if " Class" not in k}
+            stats.append(epoch_stats)
+            if primary:
+                pd.DataFrame(stats).to_csv(os.path.join(log_dir, "stats.tsv"), sep="\t")
+            sink.log(epoch_stats)
+
+    finally:
+        # The trace must flush even when the loop raises (non-finite-loss
+        # guard, loader errors, a SIGINT during preemption) or returns
+        # early -- a leaked active trace would also poison the next
+        # flyp_train in this process ('trace already started').
+        prof.close()
     sink.close()
     wait_for_saves()
     return model_path

@@ -97,6 +97,17 @@ class StepWindowTrace:
         if self._active:
             self._active = False
             try:
+                # Pin the traced window before stopping: on dispatch-returns-
+                # at-enqueue backends (the tunneled TPU) the last traced steps
+                # may still be executing.  A jitted scalar fetched to host
+                # runs after the in-order compute queue drains, so stop_trace
+                # sees every traced step's full device timeline.
+                import jax.numpy as jnp
+
+                float(jax.device_get(jax.jit(lambda: jnp.zeros(()))()))
+            except Exception:  # pragma: no cover - sync is best-effort
+                pass
+            try:
                 jax.profiler.stop_trace()
             except Exception as e:  # pragma: no cover - platform-dependent
                 import logging

@@ -320,6 +320,27 @@ def test_profile_dir_writes_trace(corpus, tmp_path):  # noqa: F811
     assert glob.glob(str(prof_dir / "**" / "*.xplane.pb"), recursive=True)
 
 
+def test_profile_trace_flushes_when_trainer_raises(corpus, tmp_path):  # noqa: F811
+    """An exception inside the epoch loop (here the non-finite-loss guard)
+    still flushes the open trace window and leaves no active profiler behind
+    — a leaked trace would poison every later flyp_train in the process."""
+    import glob
+
+    import jax
+
+    model, variables = tiny_model()
+    prof_dir = tmp_path / "trace_exc"
+    cfg = make_cfg(
+        corpus, tmp_path, lr=1e38,  # overflows to nan within two steps
+        profile_dir=str(prof_dir), profile_start_step=0, profile_steps=50,
+    )
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        flyp_train(cfg, model=model, variables=variables, print_every=1)
+    assert glob.glob(str(prof_dir / "**" / "*.xplane.pb"), recursive=True)
+    jax.profiler.start_trace(str(tmp_path / "clean"))  # raises if a trace leaked
+    jax.profiler.stop_trace()
+
+
 def test_clip_load_reads_trainer_and_bare_checkpoints(tmp_path):
     """--clip_load accepts BOTH payload layouts: a trainer
     checkpoint_{e}[_step_{i}] dir (the cont_finetune / evaluate-a-run flow,
@@ -354,4 +375,25 @@ def test_clip_load_reads_trainer_and_bare_checkpoints(tmp_path):
     save_params(bad_dir, {"only": np.zeros(3, np.float32)})
     cfg = ExperimentConfig(model="ViT-B/16", clip_load=bad_dir, compute_dtype="float32")
     with pytest.raises(ValueError, match="tree structures differ"):
+        build_clip_model(cfg, config_override=model.config)
+
+    # Same tree keys, wrong leaf shape (the ViT-B/32-into-B/16 trap): the
+    # shape validation names the offending leaf at LOAD time.
+    shape_dir = str(tmp_path / "shape_ckpt")
+    bent = dict(params)
+    first = next(iter(bent))
+    bent[first] = jax.tree_util.tree_map(
+        lambda x: np.zeros(np.asarray(x).shape + (2,), np.float32), bent[first]
+    )
+    save_params(shape_dir, bent)
+    cfg = ExperimentConfig(model="ViT-B/16", clip_load=shape_dir, compute_dtype="float32")
+    with pytest.raises(ValueError, match="shapes differ"):
+        build_clip_model(cfg, config_override=model.config)
+
+    # A path that exists but is no checkpoint, and one that doesn't exist.
+    cfg = ExperimentConfig(model="ViT-B/16", clip_load=str(tmp_path), compute_dtype="float32")
+    with pytest.raises(ValueError, match="not a readable orbax checkpoint"):
+        build_clip_model(cfg, config_override=model.config)
+    cfg = ExperimentConfig(model="ViT-B/16", clip_load=str(tmp_path / "missing"), compute_dtype="float32")
+    with pytest.raises(FileNotFoundError):
         build_clip_model(cfg, config_override=model.config)

@@ -200,12 +200,25 @@ def test_from_checkpoint_serves_trainer_payloads(tmp_path):
 
     imgs = _images(3, seed=9)
     want = ClipServer(model, variables, image_buckets=(4,)).encode_images(imgs)
-    for path in (p_epoch, p_step, p_bare):
+    for path in (p_epoch, p_step):
         srv = ClipServer.from_checkpoint(
             path, compute_dtype="float32", config_override=model.config, image_buckets=(4,)
         )
         assert "batch_stats" in srv.variables  # BN tower stats survive the load
         np.testing.assert_array_equal(srv.encode_images(imgs), want)
+
+    # A bare param tree has no BN running stats — serving a BatchNorm model
+    # from one would silently pair trained weights with fresh stats; refuse.
+    with pytest.raises(ValueError, match="batch_stats"):
+        ClipServer.from_checkpoint(
+            p_bare, compute_dtype="float32", config_override=model.config, image_buckets=(4,)
+        )
+    # A missing path is an error, not a silent random-init server.
+    with pytest.raises(FileNotFoundError):
+        ClipServer.from_checkpoint(
+            str(tmp_path / "nope"), compute_dtype="float32",
+            config_override=model.config, image_buckets=(4,),
+        )
 
     # classnames shortcut builds the zero-shot head in the same call.
     srv = ClipServer.from_checkpoint(
@@ -283,6 +296,9 @@ def test_serve_cli(tmp_path):
 
     with pytest.raises(SystemExit, match="classnames"):
         main(["--checkpoint", ckpt, "--images", str(tmp_path / "imgs")])
+    with pytest.raises(SystemExit, match="top-k"):
+        main(["--checkpoint", ckpt, "--images", str(tmp_path / "imgs"),
+              "--classnames", "a,b", "--top-k", "0"])
 
 
 def test_warmup_counts_programs():
