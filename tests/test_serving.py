@@ -294,6 +294,21 @@ def test_serve_cli(tmp_path):
     srv = ClipServer(model, variables, image_buckets=(4, 8))
     np.testing.assert_array_equal(z["features"], srv.encode_images(imgs))
 
+    # --train-dataset resolves classnames through the registry (no data root).
+    out2 = tmp_path / "preds_ds.tsv"
+    rc = main(
+        [
+            "--checkpoint", ckpt, "--images", str(tmp_path / "imgs"),
+            "--train-dataset", "PatchCamelyonVal", "--template", "patchcamelyon_template",
+            "--top-k", "1", "--image-buckets", "8", "--compute-dtype", "float32",
+            "--output", str(out2),
+        ],
+        config_override=model.config,
+    )
+    assert rc == 0
+    df2 = pd.read_csv(out2, sep="\t")
+    assert set(df2["pred"]) <= {"lymph node", "lymph node containing metastatic tumor tissue"}
+
     with pytest.raises(SystemExit, match="classnames"):
         main(["--checkpoint", ckpt, "--images", str(tmp_path / "imgs")])
     with pytest.raises(SystemExit, match="top-k"):
