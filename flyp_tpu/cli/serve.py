@@ -142,7 +142,9 @@ def main(argv=None, config_override=None) -> int:
     batches = decoded_batches(paths, srv.model.config.vision.image_size, buckets[-1])
 
     if args.features:
-        feats = [np.asarray(f) for f in srv.stream_features(batches)]
+        # float32 cast: bf16 arrays round-trip through .npz as raw void
+        # bytes that plain-numpy consumers cannot read back.
+        feats = [np.asarray(f, np.float32) for f in srv.stream_features(batches)]
         np.savez(args.features, features=np.concatenate(feats), paths=np.array(paths))
         print(f"wrote {len(paths)} features -> {args.features}")
         return 0

@@ -285,6 +285,7 @@ def test_serve_cli(tmp_path):
     assert rc == 0
     z = np.load(feats, allow_pickle=False)
     assert z["features"].shape == (5, model.config.embed_dim)
+    assert z["features"].dtype == np.float32  # bf16 would be unreadable void bytes
     assert list(z["paths"]) == paths
     # Feature rows match the server API for the same preprocessing.
     from flyp_tpu.data.transforms import eval_transform
