@@ -106,6 +106,13 @@ class CsvContrastiveDataset:
             image = self.transform.from_path(path, rng)
         elif path.endswith(".npy"):
             arr = np.load(path)
+            if np.issubdtype(arr.dtype, np.floating):
+                # torchvision ToPILImage semantics for float arrays: [0,1]
+                # scales by 255 with a truncating byte cast
+                # (`pic.mul(255).byte()`) — matching the reference's
+                # .pkl-tensor branch (`laion.py:123-127`); a plain uint8
+                # cast would truncate [0,1] floats to black.
+                arr = arr * 255
             image = self.transform(Image.fromarray(arr.astype(np.uint8)), rng)
         else:
             image = self.transform(Image.open(path), rng)

@@ -150,7 +150,7 @@ def get_grain_csv_loader(
     from flyp_tpu.parallel.multihost import local_batch_size
 
     sharded = is_train and shard_by_process
-    return GrainLoader(
+    loader = GrainLoader(
         dataset,
         # Global batch sliced per process for sharded train loaders (see
         # csv_data.get_csv_loader); replicated loaders keep the full batch.
@@ -162,3 +162,9 @@ def get_grain_csv_loader(
         # Eval is replicated across hosts (see DataLoader.shard_by_process).
         shard_by_process=sharded,
     )
+    if is_train:
+        return loader
+    # Same eval shape as get_csv_loader: the harness consumes .test_loader.
+    from flyp_tpu.data.csv_data import CsvEvalData
+
+    return CsvEvalData(dataset, loader)

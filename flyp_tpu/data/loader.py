@@ -124,7 +124,8 @@ class DataLoader:
                 return get(idx, np.random.default_rng(sample_seeds[idx]))
             return self.dataset[idx]
 
-        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             window = self.prefetch_batches * self.batch_size
             futures: collections.deque = collections.deque()
             total = n_batches * self.batch_size if self.drop_last else len(order)
@@ -147,6 +148,11 @@ class DataLoader:
                     top_up()
                 done += take
                 yield _collate(batch)
+        finally:
+            # cancel_futures: consumers that abandon the iterator mid-epoch
+            # (fisher's max_batches cut, the few-shot balanced-batch scan)
+            # must not block on a full prefetch window of queued decodes.
+            pool.shutdown(wait=True, cancel_futures=True)
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2, image_dtype=None):

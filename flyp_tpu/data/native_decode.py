@@ -48,7 +48,11 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        fresh = os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        # An existing .so with no source alongside (installed-package layout,
+        # pruned tree) is taken as-is rather than crashing on getmtime(_SRC).
+        fresh = os.path.exists(_LIB) and (
+            not os.path.exists(_SRC) or os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        )
         if not fresh and not _build():
             _failed = True
             return None

@@ -73,6 +73,6 @@ def get_classnames_for(name: str, cfg=None):
         return [base[i] for i in IMAGENET_A_SUBLIST]
     if name.startswith("ImageNet"):
         return base
-    if name == "OxfordPet" or name.startswith("OxfordPet"):
+    if name.startswith("OxfordPet"):
         raise KeyError("OxfordPet classnames require the on-disk annotations; instantiate the dataset")
     raise KeyError(f"no static classnames for {name!r}")

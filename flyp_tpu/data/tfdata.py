@@ -110,12 +110,12 @@ class TFDataCsvLoader:
                 )
                 offset, extent, _ = bbox
                 img = tf.slice(img, offset, extent)
-                img = tf.image.resize(img, (size, size), method="bicubic")
+                img = tf.image.resize(img, (size, size), method="bicubic", antialias=True)
             else:
                 shape = tf.cast(tf.shape(img)[:2], tf.float32)
                 scale = size / tf.reduce_min(shape)
                 new_hw = tf.cast(tf.round(shape * scale), tf.int32)
-                img = tf.image.resize(img, new_hw, method="bicubic")
+                img = tf.image.resize(img, new_hw, method="bicubic", antialias=True)
                 img = tf.image.resize_with_crop_or_pad(img, size, size)
             img = tf.cast(img, tf.float32) / 255.0
             img = (img - mean) / std
@@ -149,10 +149,12 @@ class TFDataCsvLoader:
 
 
 def get_tfdata_csv_loader(
-    cfg, is_train: bool, image_size: int = 224, guidance=None, ori_proportion=None, shard_by_process: bool = True
+    cfg, is_train: bool, image_size: int = 224, guidance=None, ori_proportion=None,
+    list_selection=None, shard_by_process: bool = True,
 ):
     """cfg-level constructor matching ``get_csv_loader``'s filtering (incl.
-    its ``shard_by_process`` opt-out for replicated train consumers)."""
+    ``list_selection`` class restriction and its ``shard_by_process``
+    opt-out for replicated train consumers)."""
     import pandas as pd
 
     df = pd.read_csv(cfg.ft_data if is_train else cfg.ft_data_test, sep=cfg.csv_separator)
@@ -164,6 +166,10 @@ def get_tfdata_csv_loader(
     if ori_proportion is not None:
         num_ori = min(len(df_ori), int(len(df) / (1.0 - ori_proportion) * ori_proportion))
         df = pd.concat([df, df_ori.sample(n=num_ori, random_state=cfg.seed, ignore_index=True)])
+    if list_selection is not None:
+        # cont_finetune class restriction (csv_dataset.py applies the same
+        # isin filter); dropping it silently would train on all classes.
+        df = df[df["label"].isin(list_selection)]
     from flyp_tpu.parallel.multihost import local_batch_size
 
     sharded = is_train and shard_by_process

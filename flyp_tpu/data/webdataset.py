@@ -214,11 +214,25 @@ class WebDatasetLoader:
             shards = list(self.shards)
             rng.shuffle(shards)
         # split_by_node
-        return shards[self.process_index :: self.process_count]
+        split = shards[self.process_index :: self.process_count]
+        if not split and shards:
+            # More hosts than shards: the strided split would leave this
+            # host with NOTHING — it would emit 0 batches while __len__
+            # promises num_samples/process_count/batch_size, hanging every
+            # other host's collective train step mid-epoch.  Duplicating a
+            # shard across hosts beats a distributed hang.
+            split = [shards[self.process_index % len(shards)]]
+        return split
 
     def __iter__(self) -> Iterator[dict]:
         shards = self._epoch_shards()
-        out_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2 * self.batch_size)
+        # Cap the decoded-sample buffer in BATCHES (plus a little per-worker
+        # slack), not workers x batches: decoded 224px float images are
+        # ~600KB each, and a workers-proportional cap pins gigabytes of host
+        # RAM beyond the pipelining it buys.
+        out_q: queue.Queue = queue.Queue(
+            maxsize=2 * self.batch_size + 4 * max(self.num_workers, 1)
+        )
         stop = threading.Event()
         n_workers = min(self.num_workers, max(len(shards), 1))
 

@@ -343,7 +343,8 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             from flyp_tpu.data.tfdata import get_tfdata_csv_loader
 
             return get_tfdata_csv_loader(
-                cfg, is_train=True, image_size=image_size, guidance=guidance, ori_proportion=proportion
+                cfg, is_train=True, image_size=image_size, guidance=guidance,
+                ori_proportion=proportion, list_selection=list_classes,
             )
         if backend == "grain":
             from flyp_tpu.data.grain_data import get_grain_csv_loader

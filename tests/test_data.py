@@ -85,6 +85,56 @@ def test_csv_dataset_list_selection(corpus):
     assert all(l in (0, 1) for l in ds.labels)
 
 
+def test_npy_sidecar_float_scales_like_topilimage(tmp_path):
+    """Float [0,1] .npy sidecars scale by 255 before the uint8 cast
+    (torchvision ToPILImage semantics, the reference's .pkl-tensor branch
+    `laion.py:123-127`) — a plain cast would truncate them to black."""
+    rng = np.random.default_rng(0)
+    arr8 = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    np.save(tmp_path / "u8.npy", arr8)
+    np.save(tmp_path / "f32.npy", arr8.astype(np.float32) / 255.0)
+    csv = tmp_path / "t.tsv"
+    csv.write_text(
+        "title\tfilepath\n"
+        f"a\t{tmp_path / 'u8.npy'}\n"
+        f"a\t{tmp_path / 'f32.npy'}\n"
+    )
+    ds = CsvContrastiveDataset(str(csv), eval_transform(8))
+    a = ds.get(0, np.random.default_rng(0))["image"]
+    b = ds.get(1, np.random.default_rng(0))["image"]
+    # Within one 1/255 quantum of the uint8 path (x/255*255 can truncate one
+    # step down, exactly like torch's mul(255).byte()), and clearly not the
+    # all-black constant a truncating cast would produce.
+    assert np.abs(a - b).max() <= 1.01 / 255 / 0.26  # CLIP stds ~0.26-0.27
+    assert b.std() > 0.1
+
+
+def test_loader_abandoned_iterator_cancels_prefetch(tmp_path):
+    """Breaking out of a DataLoader mid-epoch (fisher's max_batches cut, the
+    few-shot scan) must cancel the queued prefetch window instead of decoding
+    it to completion."""
+    import time
+
+    from flyp_tpu.data.loader import DataLoader
+
+    fetched = []
+
+    class DS:
+        def __len__(self):
+            return 400
+
+        def get(self, idx, rng):
+            fetched.append(idx)
+            time.sleep(0.002)
+            return {"x": np.zeros(1)}
+
+    dl = DataLoader(DS(), batch_size=8, num_workers=2, seed=0)
+    it = iter(dl)
+    next(it)
+    it.close()  # abandon: GeneratorExit -> finally -> shutdown(cancel_futures)
+    assert len(fetched) < 200, f"prefetch ran {len(fetched)} decodes after abandon"
+
+
 def test_loader_batches_and_determinism(corpus):
     ds = CsvContrastiveDataset(corpus, eval_transform(32), label_key="label")
     dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=4, seed=3)

@@ -104,6 +104,21 @@ def test_csv_loader_with_native_backend(tmp_path):
         assert np.abs(a["image"] - b["image"]).max() <= _LSB
 
 
+def test_available_with_lib_but_no_source(monkeypatch):
+    """Installed-package layout: the cached .so exists but the C++ source
+    does not.  available() must use the library as-is, not crash on
+    getmtime(missing source)."""
+    monkeypatch.setattr(nd, "_SRC", nd._SRC + ".does-not-exist")
+    monkeypatch.setattr(nd, "_lib", None)
+    monkeypatch.setattr(nd, "_failed", False)
+    try:
+        assert nd.available()  # .so was built by the earlier tests
+    finally:
+        # Reset the module cache so later tests re-load cleanly.
+        nd._lib = None
+        nd._failed = False
+
+
 def test_multithread_scaling():
     """GIL-free thread scaling of the native decode+transform path (the
     design premise of the threaded loader, `data/loader.py`): throughput at

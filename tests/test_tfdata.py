@@ -54,6 +54,27 @@ def test_epoch_shuffle(frame):
     assert not np.array_equal(a, sig())
 
 
+def test_list_selection_filters(frame, tmp_path):
+    """cont_finetune's class restriction reaches the tfdata backend (it was
+    silently dropped before: the trainer passes list_selection=list_classes
+    and training must not proceed on all classes)."""
+    from types import SimpleNamespace
+
+    from flyp_tpu.data.tfdata import get_tfdata_csv_loader
+
+    df = frame.copy()
+    df["label"] = [i % 4 for i in range(len(df))]
+    csv = tmp_path / "train.tsv"
+    df.to_csv(csv, sep="\t", index=False)
+    cfg = SimpleNamespace(
+        ft_data=str(csv), ft_data_test=str(csv), csv_separator="\t",
+        datalimit=-1, seed=0, batch_size=5, workers=1, get_labeled_csv=False,
+    )
+    dl_all = get_tfdata_csv_loader(cfg, is_train=True, image_size=32)
+    dl_sel = get_tfdata_csv_loader(cfg, is_train=True, image_size=32, list_selection=[0, 2])
+    assert len(dl_all) == 4 and len(dl_sel) == 2  # 20 rows -> 10 selected
+
+
 def test_trainer_with_tfdata_backend(frame, tmp_path):
     """flyp_train consumes the tf.data backend end to end."""
     import dataclasses

@@ -103,6 +103,20 @@ def test_node_split(shards):
     assert not (k0 & k1)  # disjoint across nodes
 
 
+def test_shard_starved_host_still_yields_full_epoch(shards):
+    """More hosts than shards: the strided node split would leave rank 5 of
+    6 with NOTHING — it must fall back to a cyclic shard assignment and emit
+    the promised batch count, or every other host's collective train step
+    hangs mid-epoch."""
+    url = os.path.join(shards, "shard-{00000..00003}.tar")
+    loader = WebDatasetLoader(
+        url, transform=eval_transform(32), batch_size=2, num_workers=1,
+        num_samples=24, process_index=5, process_count=6,
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2  # 24 / 6 hosts / batch 2
+
+
 def test_is_webdataset_dispatch():
     from flyp_tpu.data.webdataset import is_webdataset
 
