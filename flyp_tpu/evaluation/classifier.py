@@ -67,6 +67,13 @@ class Classifier:
         # Cast BEFORE padding so the ragged-tail concat copies half the bytes.
         images = host_cast_images(images, self.model.compute_dtype)
         n = images.shape[0]
+        if n > self.batch_size:
+            # np.zeros((negative, ...)) would raise an opaque ValueError.
+            raise ValueError(
+                f"batch of {n} images exceeds this Classifier's compiled "
+                f"batch_size={self.batch_size}; split the request (or use "
+                "flyp_tpu.serving.ClipServer, which buckets and chunks)"
+            )
         if n != self.batch_size:
             pad = self.batch_size - n
             images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0)

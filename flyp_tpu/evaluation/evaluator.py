@@ -3,8 +3,9 @@
 Behavioral spec from `/root/reference/src/models/eval.py:81-417`:
 
 * datasets may provide ``project_logits`` (e.g. ObjectNet's 113-class
-  max-pool), ``project_labels``, a custom ``accuracy`` (VidRobust), a
-  ``post_loop_metrics`` (WILDS macro-F1), OxfordPet's cat/dog index lists,
+  max-pool), ``project_labels``, a custom ``accuracy`` (ObjectNet,
+  `objectnet.py:133-140` — it bypasses the per-class tallies), a
+  ``post_loop_metrics`` (WILDS/VidRobust), OxfordPet's cat/dog index lists,
   and an ``excluded_indices`` list (the IWildCamOOD validation-overlap
   exclusion, `eval.py:126-129,225-230` — a pickle path upstream, a dataset
   attribute here).
@@ -211,10 +212,21 @@ def evaluate(
 
     for dataset_name in cfg.eval_datasets:
         _log(logger, f"Evaluating on {dataset_name}")
-        dataset_cls = get_dataset_class(dataset_name)
-        dataset = dataset_cls(
-            preprocess=preprocess, location=cfg.data_location, batch_size=cfg.batch_size, num_workers=cfg.workers
-        )
+        if getattr(cfg, "self_data", False):
+            # --self_data evaluates the ft_data_test CSV, not the registry
+            # dataset (the reference passes dataset=None and reads the CSV
+            # loader, `eval.py:392-400,104-117`); the name only labels the
+            # stats keys.  Plain argmax accuracy applies (no dataset hooks).
+            from flyp_tpu.data.csv_data import get_csv_loader
+
+            dataset = get_csv_loader(
+                cfg, is_train=False, image_size=classifier.model.config.vision.image_size
+            )
+        else:
+            dataset_cls = get_dataset_class(dataset_name)
+            dataset = dataset_cls(
+                preprocess=preprocess, location=cfg.data_location, batch_size=cfg.batch_size, num_workers=cfg.workers
+            )
         results = eval_single_dataset(classifier, dataset, cfg)
 
         if "top1" in results:

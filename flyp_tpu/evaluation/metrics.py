@@ -17,14 +17,20 @@ def topk_accuracy(logits: np.ndarray, labels: np.ndarray, ks: Sequence[int] = (1
 
 
 def macro_f1(preds: np.ndarray, labels: np.ndarray, num_classes: Optional[int] = None) -> float:
-    """Macro F1.  With ``num_classes`` the average spans all class ids
-    (absent classes count as 0), matching torcheval's
+    """Macro F1 matching torcheval's
     ``multiclass_f1_score(..., num_classes=N, average='macro')`` used at
-    `eval.py:256`; without it, sklearn's present-labels default."""
+    `eval.py:256`: classes absent from BOTH targets and predictions are
+    EXCLUDED from the average (torcheval masks classes with zero
+    label+prediction count), i.e. sklearn over the union of present class
+    ids.  Averaging over all ``num_classes`` ids instead would deflate
+    per-guidance curriculum F1 by ~(present/181) and change which guidance
+    the progress trainer selects.  Without ``num_classes``, sklearn's
+    present-labels default (the WILDS convention)."""
     from sklearn.metrics import f1_score
 
     if num_classes is not None:
-        return float(f1_score(labels, preds, labels=list(range(num_classes)), average="macro", zero_division=0))
+        present = np.union1d(np.unique(labels), np.unique(preds))
+        return float(f1_score(labels, preds, labels=present, average="macro", zero_division=0))
     return float(f1_score(labels, preds, average="macro", zero_division=0))
 
 

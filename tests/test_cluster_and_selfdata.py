@@ -102,3 +102,35 @@ def test_self_data_eval_path(corpus, tmp_path):
     cfg.self_data = True
     results = eval_single_dataset(clf, data, cfg)
     assert "top1" in results and 0.0 <= results["top1"] <= 1.0
+
+
+def test_self_data_evaluate_scores_csv_not_registry(corpus, tmp_path):
+    """Trainer-level evaluate() with --self_data must score the ft_data_test
+    CSV, not the registry dataset (the reference passes dataset=None and
+    reads the CSV loader, `eval.py:392-400,104-117`).  data_location points
+    at a nonexistent tree, so touching the registry dataset would raise."""
+    from flyp_tpu.data.csv_data import get_csv_loader
+    from flyp_tpu.evaluation.classifier import Classifier
+    from flyp_tpu.evaluation.evaluator import eval_single_dataset, evaluate
+    from flyp_tpu.training.flyp import build_zeroshot_head
+
+    model, variables = tiny_model()
+    cfg = ExperimentConfig(
+        train_dataset="PatchCamelyonVal",
+        template="patchcamelyon_template",
+        eval_datasets=["PatchCamelyonVal"],
+        data_location=str(tmp_path / "no_such_tree"),
+        ft_data=corpus["train_csv"],
+        ft_data_test=corpus["train_csv"],
+        batch_size=8, workers=2, self_data=False,
+    )
+    head = build_zeroshot_head(cfg, model, variables)
+    clf = Classifier(model, variables, head, batch_size=8)
+
+    cfg.self_data = True
+    stats: dict = {}
+    evaluate(clf, cfg, stats, logger=None)
+    assert "PatchCamelyonVal Accuracy" in stats
+    # Same number the direct CSV eval produces.
+    direct = eval_single_dataset(clf, get_csv_loader(cfg, is_train=False, image_size=32), cfg)
+    assert stats["PatchCamelyonVal Accuracy"] == round(direct["top1"], 4)

@@ -63,6 +63,26 @@ def test_zeroshot_head_math():
     np.testing.assert_allclose(norms, np.exp(np.asarray(variables["params"]["logit_scale"])), rtol=1e-4)
 
 
+def test_macro_f1_torcheval_semantics():
+    """The per-guidance F1 matches torcheval multiclass_f1_score(macro):
+    classes absent from BOTH targets and predictions are EXCLUDED from the
+    average (torcheval masks zero-count classes).  Averaging over all
+    num_classes ids instead deflates a perfect 5-of-181-class bucket from
+    1.0 to 0.028 and flips curriculum guidance choices.  Goldens emulated
+    from torcheval's documented per-class counting."""
+    from flyp_tpu.evaluation.metrics import macro_f1
+
+    y = np.array([0, 1, 2, 3, 4])
+    assert macro_f1(y, y, num_classes=181) == 1.0
+    p = np.array([1, 1, 2, 3, 4])
+    # Present classes {0,1,2,3,4}: f1 = [0, 2/3, 1, 1, 1] -> mean 0.7333...
+    assert abs(macro_f1(p, y, num_classes=181) - 11 / 15) < 1e-9
+    # A class present only in predictions still enters the average (f1=0).
+    p2 = np.array([0, 1, 2, 3, 180])
+    # Present {0,1,2,3,4,180}: f1 = [1, 1, 1, 1, 0, 0] -> 4/6
+    assert abs(macro_f1(p2, y, num_classes=181) - 4 / 6) < 1e-9
+
+
 def test_eval_single_dataset(folder_corpus):
     model, variables = tiny_model()
     head = get_zeroshot_classifier(model, variables, ["cat", "dog", "fish"], get_template("simple_template"))
