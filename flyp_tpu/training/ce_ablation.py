@@ -38,7 +38,19 @@ def make_ce_train_step(model, optimizer, mesh=None, label_smoothing: float = 0.0
     def train_step(state: TrainState, images, labels, class_texts):
         def loss_fn(params):
             variables = {"params": params}
-            img_f = l2_normalize(model.apply(variables, images, method="encode_image"))
+            if state.batch_stats is not None:
+                # ResNet towers: torch train-mode BatchNorm (batch statistics
+                # in the forward, running-stat updates carried in the state) —
+                # the same threading as the FLYP train step.
+                variables["batch_stats"] = state.batch_stats
+                img_f, updated = model.apply(
+                    variables, images, method="encode_image", train=True, mutable=["batch_stats"]
+                )
+                new_stats = updated["batch_stats"]
+            else:
+                img_f = model.apply(variables, images, method="encode_image")
+                new_stats = None
+            img_f = l2_normalize(img_f)
             txt_f = l2_normalize(model.apply(variables, class_texts, method="encode_text"))
             scale = jnp.exp(params["logit_scale"])
             logits = (scale * img_f @ txt_f.T).astype(jnp.float32)
@@ -46,14 +58,15 @@ def make_ce_train_step(model, optimizer, mesh=None, label_smoothing: float = 0.0
             onehot = jax.nn.one_hot(labels, num_classes)
             if label_smoothing > 0:
                 onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
-            return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, axis=-1), axis=-1))
+            loss = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, axis=-1), axis=-1))
+            return loss, new_stats
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         import optax
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, opt_state, state.batch_stats)
+        new_state = TrainState(state.step + 1, params, opt_state, new_stats)
         return new_state, {"loss": loss, "learning_rate": opt_state.hyperparams["learning_rate"]}
 
     if mesh is None:

@@ -154,7 +154,7 @@ def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float
     # main trainer's loader path.
     tokens_j = jnp.asarray(shrink_context(np.asarray(ft_text)))
 
-    best = {"val": 0.0, "loss": 1e10, "params": None}
+    best = {"val": 0.0, "loss": 1e10, "vars": None}
     for epoch in range(-1, cfg.epochs):
         if epoch != -1:
             assert ft_image.shape[0] == 2 * k, "batch mismatch"
@@ -169,10 +169,13 @@ def flyp_few_shot(cfg, logger, model=None, variables=None) -> Tuple[float, float
         logger.info(f"Epoch {epoch} results {val_acc}")
 
         if cnt_loss <= best["loss"]:
-            best = {"val": val_acc, "loss": cnt_loss, "params": copy.deepcopy(host_vars["params"])}
+            # Snapshot ALL model collections: BN running stats move every
+            # step, and re-scoring the best snapshot with different stats
+            # would trip the reproducibility asserts below.
+            best = {"val": val_acc, "loss": cnt_loss, "vars": copy.deepcopy(host_vars)}
 
     # Restore best and assert the scores reproduce (`:198-207`).
-    host_vars = {"params": best["params"]}
+    host_vars = best["vars"]
     head = build_zeroshot_head(cfg, model, host_vars)
     clf = Classifier(model, host_vars, head, batch_size=2 * k)
     val_acc, cnt_loss = eval_single_batch(clf, val_dataset, cfg, val_batch)

@@ -23,10 +23,26 @@ from flyp_tpu.models.factory import build_clip_model
 
 
 def make_fisher_step(model, head, label_smoothing: float = 0.0):
-    """Returns fn(params, images, rng) -> (per-param sum of grad^2, count)."""
+    """Returns fn(params, batch_stats, images, rng) -> (grad^2 sums, count).
 
-    def single_loss(params, image, label):
-        feats = model.apply({"params": params}, image[None], method="encode_image")
+    ``batch_stats`` is None for ViT towers; for ResNet towers the reference
+    runs `model.train()` during Fisher accumulation (`fisher.py:62,78`), so
+    BatchNorm normalizes each (here: single-example) pass by its own batch
+    statistics; the running-stat updates are side effects the reference
+    never saves, so they are discarded here."""
+
+    def _encode(params, batch_stats, image_batch):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            feats, _ = model.apply(
+                variables, image_batch, method="encode_image", train=True, mutable=["batch_stats"]
+            )
+            return feats
+        return model.apply(variables, image_batch, method="encode_image")
+
+    def single_loss(params, batch_stats, image, label):
+        feats = _encode(params, batch_stats, image[None])
         logits = head(feats).astype(jnp.float32)[0]
         num_classes = logits.shape[-1]
         onehot = jax.nn.one_hot(label, num_classes)
@@ -35,12 +51,14 @@ def make_fisher_step(model, head, label_smoothing: float = 0.0):
         return -jnp.sum(onehot * jax.nn.log_softmax(logits))
 
     @jax.jit
-    def fisher_step(params, images, rng):
-        feats = model.apply({"params": params}, images, method="encode_image")
+    def fisher_step(params, batch_stats, images, rng):
+        feats = _encode(params, batch_stats, images)
         logits = head(feats).astype(jnp.float32)
         labels = jax.random.categorical(rng, logits, axis=-1)
 
-        per_example_grads = jax.vmap(jax.grad(single_loss), in_axes=(None, 0, 0))(params, images, labels)
+        per_example_grads = jax.vmap(jax.grad(single_loss), in_axes=(None, None, 0, 0))(
+            params, batch_stats, images, labels
+        )
         sq_sum = jax.tree_util.tree_map(lambda g: jnp.sum(g.astype(jnp.float32) ** 2, axis=0), per_example_grads)
         return sq_sum, images.shape[0]
 
@@ -85,7 +103,7 @@ def compute_fisher(cfg, logger=None, model=None, variables=None, head=None, max_
             if max_batches is not None and i >= max_batches:
                 break
             rng, sub = jax.random.split(rng)
-            sq_sum, n = fisher_step(params, jnp.asarray(batch["image"]), sub)
+            sq_sum, n = fisher_step(params, variables.get("batch_stats"), jnp.asarray(batch["image"]), sub)
             acc = jax.tree_util.tree_map(jnp.add, acc, sq_sum)
             count += int(n)
 

@@ -177,26 +177,34 @@ def _cont_finetune_classes(cfg, logger):
     return list_classes
 
 
-def _latest_checkpoint(save_dir: str):
-    """Find the newest checkpoint in ``save_dir``.
+def _parse_checkpoint_name(d: str):
+    """``checkpoint_{e}[_step_{i}]`` -> ``(ordering_key, kind)`` or None.
 
-    ``checkpoint_{e}`` means "epoch e completed" and orders as ``(e+1, -1)``;
-    ``checkpoint_{e}_step_{i}`` means "epoch e, step i completed" and orders
-    as ``(e, i)``.  Orbax tmp dirs (``*.orbax-checkpoint-tmp-*``) fail the
-    isdigit guards and are skipped.  Returns ``(kind, path)`` or ``None``."""
+    The single home of the checkpoint-name grammar (resume scan and step
+    pruning must agree on it): ``checkpoint_{e}`` means "epoch e completed"
+    and orders as ``(e+1, -1)``; ``checkpoint_{e}_step_{i}`` means "epoch e,
+    step i completed" and orders as ``(e, i)``.  Orbax tmp dirs
+    (``*.orbax-checkpoint-tmp-*``) fail the isdigit guards."""
+    if not d.startswith("checkpoint_"):
+        return None
+    e, sep, s = d[len("checkpoint_") :].partition("_step_")
+    if not e.isdigit():
+        return None
+    if not sep:
+        return (int(e) + 1, -1), "epoch"
+    if s.isdigit():
+        return (int(e), int(s)), "step"
+    return None
+
+
+def _latest_checkpoint(save_dir: str):
+    """Find the newest checkpoint in ``save_dir``; ``(kind, path)`` or None."""
     best = None
     for d in os.listdir(save_dir):
-        if not d.startswith("checkpoint_"):
+        parsed = _parse_checkpoint_name(d)
+        if parsed is None:
             continue
-        e, sep, s = d[len("checkpoint_") :].partition("_step_")
-        if not e.isdigit():
-            continue
-        if not sep:
-            key, kind = (int(e) + 1, -1), "epoch"
-        elif s.isdigit():
-            key, kind = (int(e), int(s)), "step"
-        else:
-            continue
+        key, kind = parsed
         if best is None or key > best[0]:
             best = (key, (kind, os.path.join(save_dir, d)))
     return best[1] if best else None
@@ -211,11 +219,9 @@ def _prune_step_checkpoints(save_dir: str, keep: int = 2) -> None:
 
     entries = []
     for d in os.listdir(save_dir):
-        if not d.startswith("checkpoint_"):
-            continue
-        e, sep, s = d[len("checkpoint_") :].partition("_step_")
-        if sep and e.isdigit() and s.isdigit():
-            entries.append(((int(e), int(s)), os.path.join(save_dir, d)))
+        parsed = _parse_checkpoint_name(d)
+        if parsed is not None and parsed[1] == "step":
+            entries.append((parsed[0], os.path.join(save_dir, d)))
     for _, path in sorted(entries)[: max(0, len(entries) - keep)]:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -309,8 +315,8 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
     image_dtype = ml_dtypes.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
-    def load_train_loader(epoch, guidance, str_times, proportion):
-        if guidance is not None:
+    def load_train_loader(epoch, guidance, str_times, proportion, log_row=True):
+        if guidance is not None and log_row:
             logger.info(f"loading image guidance = {guidance}, loop times {str_times}")
             sink.log({"Epoch": epoch, "Image Guidance": guidance})
         backend = getattr(cfg, "data_backend", "threads")
@@ -365,7 +371,18 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         # sharded over the data axis, and staged ahead of the step.
         return iter(prefetch_to_device(loader, mesh, size=2, image_dtype=image_dtype))
 
-    ft_loader = load_train_loader(0, cur_guidance, cur_str_times, ori_proportion)
+    # A pending auto-resume (scanned early so the epoch-0 loader below can be
+    # built quietly): the resume paths rebuild the loader from the restored
+    # cursor, so logging an "Image Guidance" row for THIS loader would write a
+    # spurious pre-resume entry to the metrics stream.  The loader itself is
+    # still built — num_batches (the scheduler horizon) must come from the
+    # epoch-0 loader to match the uninterrupted run's LR trajectory exactly.
+    resume_found = (
+        _latest_checkpoint(cfg.save) if cfg.save is not None and os.path.isdir(cfg.save) else None
+    )
+    ft_loader = load_train_loader(
+        0, cur_guidance, cur_str_times, ori_proportion, log_row=resume_found is None
+    )
     num_batches = len(ft_loader)
     if cfg.curriculum:
         if cfg.curriculum_epoch is None:
@@ -439,67 +456,79 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     resume_epoch_mid = -1  # epoch being resumed mid-way (-1: none)
     resume_step = 0  # first step index to run in that epoch
     resume_loss_sum = 0.0
-    if cfg.save is not None and os.path.isdir(cfg.save):
+    if resume_found is not None:
         from flyp_tpu.utils.checkpoint import restore_checkpoint
 
-        found = _latest_checkpoint(cfg.save)
-        if found:
-            kind, path = found
-            logger.info(f"Auto-resuming from {path}")
-            host_state = _global_host_state(state)
-            if kind == "step":
-                host_state, cursor, mid_cursor = restore_checkpoint(path, host_state, mid=True)
-            else:
-                host_state, cursor = restore_checkpoint(path, host_state)
-            if use_tp:
-                from flyp_tpu.parallel.tp import shard_train_state
+        kind, path = resume_found
+        logger.info(f"Auto-resuming from {path}")
+        if cfg.progress:
+            # Same limitation class the step-checkpoint guard REJECTS
+            # (lines above): progress-driven guidance selection holds
+            # host state (last_perform, the exploration RNG) that
+            # checkpoints do not carry, so the resumed run re-baselines
+            # progress at zero and restarts the exploration stream — the
+            # curriculum can diverge from the uninterrupted run.  Epoch
+            # resume stays allowed (the reference has no resume at all);
+            # warn instead of silently diverging.
+            logger.warning(
+                "auto-resume with --progress: last_perform and the "
+                "exploration RNG are not checkpointed; progress-driven "
+                "guidance choices may diverge from an uninterrupted run"
+            )
+        host_state = _global_host_state(state)
+        if kind == "step":
+            host_state, cursor, mid_cursor = restore_checkpoint(path, host_state, mid=True)
+        else:
+            host_state, cursor = restore_checkpoint(path, host_state)
+        if use_tp:
+            from flyp_tpu.parallel.tp import shard_train_state
 
-                state = shard_train_state(mesh, host_state)
-            elif cfg.fsdp:
-                from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
+            state = shard_train_state(mesh, host_state)
+        elif cfg.fsdp:
+            from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
 
-                # Re-shard exactly as the fresh path did: a replicated
-                # restore would silently drop ZeRO sharding (and OOM any
-                # model that only fits sharded).
-                state = shard_train_state_fsdp(mesh, host_state)
-            else:
-                state = replicate(mesh, host_state)
-            cur_guidance = cursor.cur_guidance
-            cur_str_times = cursor.cur_str_times
-            cur_guidance_id = cursor.cur_guidance_id
-            if kind == "step":
-                start_epoch = cursor.epoch
-                resume_epoch_mid = cursor.epoch
-                resume_step = mid_cursor.step_in_epoch + 1
-                resume_loss_sum = mid_cursor.id_flyp_loss_sum
-                data_pass = mid_cursor.data_pass
-                batch_in_pass = mid_cursor.batch_in_pass
-                cur_proportion = None if mid_cursor.proportion < 0 else mid_cursor.proportion
-                # Rebuild the loader the original run was mid-way through and
-                # fast-forward past its consumed batches; the iterator then
-                # yields exactly the stream the preempted run would have seen.
-                ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, cur_proportion)
-                ft_loader.set_epoch(data_pass, start_batch=batch_in_pass)
-            else:
-                start_epoch = cursor.epoch + 1
-                if cfg.curriculum and cur_guidance is not None:
-                    ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
-            # stats.tsv is rewritten from the in-memory list at each epoch
-            # end; reload the completed epochs' rows so a resumed run keeps
-            # the cumulative file instead of silently dropping pre-resume
-            # history (the production preemption setup reuses one log_dir).
-            stats_path = os.path.join(log_dir, "stats.tsv")
-            if os.path.isfile(stats_path):
-                prev = pd.read_csv(stats_path, sep="\t", index_col=0)
-                for _, row in prev.iterrows():
-                    if not row.get("Epoch", -1) < start_epoch:
-                        continue
-                    r = row.dropna().to_dict()
-                    for k in ("Epoch", "epoch"):
-                        # iterrows upcasts whole rows to float; epochs are ints.
-                        if k in r:
-                            r[k] = int(r[k])
-                    stats.append(r)
+            # Re-shard exactly as the fresh path did: a replicated
+            # restore would silently drop ZeRO sharding (and OOM any
+            # model that only fits sharded).
+            state = shard_train_state_fsdp(mesh, host_state)
+        else:
+            state = replicate(mesh, host_state)
+        cur_guidance = cursor.cur_guidance
+        cur_str_times = cursor.cur_str_times
+        cur_guidance_id = cursor.cur_guidance_id
+        if kind == "step":
+            start_epoch = cursor.epoch
+            resume_epoch_mid = cursor.epoch
+            resume_step = mid_cursor.step_in_epoch + 1
+            resume_loss_sum = mid_cursor.id_flyp_loss_sum
+            data_pass = mid_cursor.data_pass
+            batch_in_pass = mid_cursor.batch_in_pass
+            cur_proportion = None if mid_cursor.proportion < 0 else mid_cursor.proportion
+            # Rebuild the loader the original run was mid-way through and
+            # fast-forward past its consumed batches; the iterator then
+            # yields exactly the stream the preempted run would have seen.
+            ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, cur_proportion)
+            ft_loader.set_epoch(data_pass, start_batch=batch_in_pass)
+        else:
+            start_epoch = cursor.epoch + 1
+            if cfg.curriculum and cur_guidance is not None:
+                ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
+        # stats.tsv is rewritten from the in-memory list at each epoch
+        # end; reload the completed epochs' rows so a resumed run keeps
+        # the cumulative file instead of silently dropping pre-resume
+        # history (the production preemption setup reuses one log_dir).
+        stats_path = os.path.join(log_dir, "stats.tsv")
+        if os.path.isfile(stats_path):
+            prev = pd.read_csv(stats_path, sep="\t", index_col=0)
+            for _, row in prev.iterrows():
+                if not row.get("Epoch", -1) < start_epoch:
+                    continue
+                r = row.dropna().to_dict()
+                for k in ("Epoch", "epoch"):
+                    # iterrows upcasts whole rows to float; epochs are ints.
+                    if k in r:
+                        r[k] = int(r[k])
+                stats.append(r)
 
     drestart_done = False
     steps_this_run = 0
@@ -574,7 +603,14 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             def drain_metrics(pend):
                 nonlocal id_flyp_loss_sum
                 j, m, img_ids = pend
-                m = jax.device_get(m)  # ONE host transfer for every metric
+                # per_item_loss is BATCH-SHARDED (train_step metric shardings):
+                # on multi-host a plain device_get of a non-fully-addressable
+                # array raises, and only --cluster loss consumes it — fetch
+                # the replicated scalars alone, and reassemble the per-item
+                # vector collectively when clustering needs it.
+                m = dict(m)
+                per_item = m.pop("per_item_loss", None)
+                m = jax.device_get(m)  # ONE host transfer for the scalars
                 loss_val = float(m["loss"])
                 if not np.isfinite(loss_val):
                     # Failure detection (SURVEY.md §5): surface divergence at the
@@ -585,7 +621,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     )
                 id_flyp_loss_sum += loss_val
                 if img_ids is not None:
-                    loss_pairs.extend(zip(img_ids.tolist(), np.asarray(m["per_item_loss"]).tolist()))
+                    loss_pairs.extend(
+                        zip(np.asarray(img_ids).tolist(), np.asarray(_global_host_state(per_item)).tolist())
+                    )
                 record = {
                     "Epoch": epoch,
                     "ID FLYP Loss": loss_val,
@@ -646,14 +684,25 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     data_pass += 1
                     ft_loader.set_epoch(data_pass)
                     ft_iterator = device_iter(ft_loader)
-                    batch = next(ft_iterator)
+                    try:
+                        batch = next(ft_iterator)
+                    except StopIteration:
+                        # A bare StopIteration raised inside this except
+                        # block would escape flyp_train uncaught.
+                        raise RuntimeError(
+                            f"train loader for guidance {cur_guidance} produced no "
+                            f"batches (fewer than batch_size={cfg.batch_size} rows "
+                            "after guidance/class filtering?)"
+                        ) from None
                     batch_in_pass = 1
 
                 prof.step(steps_this_run)
                 state, metrics = step_fn(state, batch["image"], batch["tokens"])
 
                 prev = lag.push(
-                    (i, metrics, np.asarray(batch["img_id"]) if cfg.cluster == "loss" else None)
+                    # img_id rides the batch sharding: reassemble collectively
+                    # on multi-host (np.asarray of a cross-process array raises).
+                    (i, metrics, _global_host_state(batch["img_id"]) if cfg.cluster == "loss" else None)
                 )
                 if prev is not None:
                     drain_metrics(prev)  # step i is in flight; fetch of i-1 overlaps it

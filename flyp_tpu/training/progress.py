@@ -27,7 +27,7 @@ from flyp_tpu.evaluation.classifier import Classifier
 from flyp_tpu.utils.pipeline import OneStepLag, host_cast_images
 from flyp_tpu.evaluation.evaluator import evaluate
 from flyp_tpu.models.factory import build_clip_model
-from flyp_tpu.training.flyp import _avg_ood_acc, build_zeroshot_head, progress_eval
+from flyp_tpu.training.flyp import _avg_ood_acc, _host_variables, build_zeroshot_head, progress_eval
 from flyp_tpu.training.schedules import make_scheduler
 from flyp_tpu.training.train_state import create_train_state, make_optimizer
 from flyp_tpu.training.train_step import make_train_step
@@ -42,6 +42,13 @@ def _save_snapshot(path, state, last_perform, step):
     payload = {
         "params": jax.tree_util.tree_map(np.asarray, jax.device_get(state.params)),
         "opt_state": jax.tree_util.tree_map(np.asarray, jax.device_get(state.opt_state)),
+        # BN running stats are trajectory state (the reference snapshots the
+        # full state_dict incl. buffers, `flyp_loss_progress.py:177-180`);
+        # restoring stale pretrained stats would score beams wrongly.
+        "batch_stats": (
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.batch_stats))
+            if state.batch_stats is not None else {}
+        ),
     }
     _checkpointer().save(os.path.abspath(path), payload, force=True)
     with open(path + ".perform.json", "w") as f:
@@ -102,9 +109,15 @@ def flyp_progress_validation(
             item={
                 "params": jax.tree_util.tree_map(np.asarray, jax.device_get(template.params)),
                 "opt_state": jax.tree_util.tree_map(np.asarray, jax.device_get(template.opt_state)),
+                "batch_stats": (
+                    jax.tree_util.tree_map(np.asarray, jax.device_get(template.batch_stats))
+                    if template.batch_stats is not None else {}
+                ),
             },
         )
-        restored = create_train_state(snap["params"], optimizer, variables.get("batch_stats"))
+        restored = create_train_state(
+            snap["params"], optimizer, snap["batch_stats"] if template.batch_stats is not None else None
+        )
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(restored.opt_state),
             jax.tree_util.tree_leaves(snap["opt_state"]),
@@ -154,7 +167,7 @@ def flyp_progress_validation(
             last_guid_path_str = last_name.split("guidpath")[1]
 
             state, last_perform, step = restore(last_path)
-            host_vars = {"params": jax.device_get(state.params)}
+            host_vars = _host_variables(state)  # incl. batch_stats for BN towers
             res_progress, str_progress, last_perform, _ = progress_eval(
                 cfg, model, host_vars, last_perform, epoch, logger
             )
@@ -173,7 +186,7 @@ def flyp_progress_validation(
 
                 state, step, id_flyp_loss_avg = train_on_guidance(state, guid, step)
 
-                host_vars = {"params": jax.device_get(state.params)}
+                host_vars = _host_variables(state)  # incl. batch_stats for BN towers
                 _, str_progress, last_perform, _ = progress_eval(
                     cfg, model, host_vars, last_perform, epoch, logger
                 )

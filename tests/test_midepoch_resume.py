@@ -171,10 +171,24 @@ def test_curriculum_midpass_resume_exact(corpus, tmp_path):  # noqa: F811
     assert os.path.basename(ret) == "checkpoint_0_step_2"
 
     model, variables = tiny_model()
+    # debug=False enables the JSONL metrics sink so the resume-time loader
+    # bookkeeping below is observable (no wandb in CI; the sink degrades to
+    # metrics.jsonl only).
     cfg_b2 = make_cfg(
-        corpus, tmp_path, save=str(tmp_path / "cur_b"), log_dir=str(tmp_path / "clog_b2"), **base
+        corpus, tmp_path, save=str(tmp_path / "cur_b"), log_dir=str(tmp_path / "clog_b2"),
+        debug=False, **base,
     )
     flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    # The epoch-0 loader built before the resume block is discarded (the
+    # restored cursor rebuilds the guidance-100 loader), so it must NOT leave
+    # a pre-resume "Image Guidance" row in the metrics stream: the first row
+    # belongs to the rebuilt loader.
+    import json as _json
+
+    with open(os.path.join(cfg_b2.log_dir, "metrics.jsonl")) as f:
+        guid_rows = [r for r in map(_json.loads, f) if "Image Guidance" in r]
+    assert guid_rows and guid_rows[0]["Image Guidance"] == 100, guid_rows[:2]
 
     _assert_trees_equal(
         _raw_params(os.path.join(cfg_a.save, "checkpoint_0")),

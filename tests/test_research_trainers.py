@@ -126,6 +126,62 @@ def test_fisher(corpus, tmp_path):
     assert os.path.isfile(fisher_path)
 
 
+def test_bn_tower_ce_ablation_and_fisher(corpus, tmp_path):
+    """BatchNorm towers (RN50 family) work in the research trainers too:
+    the CE step threads batch_stats mutably (torch train-mode BN) and the
+    Fisher passes run train-mode BN like the reference's model.train()."""
+    from tests.test_flyp_trainer import tiny_resnet
+
+    model, variables = tiny_resnet()
+    assert "batch_stats" in variables
+    cfg = make_cfg(corpus, tmp_path, train_dataset="PatchCamelyonTrain", epochs=1)
+    logger = get_logger(None)
+    from flyp_tpu.training.ce_ablation import ce_ablation
+
+    ce_ablation(cfg, logger, model=model, variables=variables, print_every=2)
+    stats = pd.read_csv(os.path.join(cfg.log_dir, "stats.tsv"), sep="\t")
+    assert "Avg OOD Acc" in stats.columns
+
+    model, variables = tiny_resnet()
+    fisher_path = str(tmp_path / "fisher_rn.pkl")
+    cfg = make_cfg(
+        corpus, tmp_path, train_dataset="PatchCamelyonTrain", epochs=1,
+        fisher=[fisher_path], log_dir=str(tmp_path / "fisher_logs"),
+    )
+    from flyp_tpu.training.fisher import compute_fisher
+
+    fisher = compute_fisher(cfg, logger, model=model, variables=variables, max_batches=1)
+    assert any(np.any(l > 0) for l in jax.tree_util.tree_leaves(fisher))
+
+
+def test_bn_tower_few_shot_and_progress(corpus, tmp_path):
+    """Few-shot snapshots and progress-validation beam snapshots must carry
+    BN running stats: re-scoring the best model with different statistics
+    would break the reproducibility asserts / beam selection."""
+    from tests.test_flyp_trainer import tiny_resnet
+
+    model, variables = tiny_resnet()
+    cfg = make_cfg(corpus, tmp_path, k=4, epochs=1)
+    logger = get_logger(None)
+    from flyp_tpu.training.few_shot import flyp_few_shot
+
+    val_acc, test_acc = flyp_few_shot(cfg, logger, model=model, variables=variables)
+    assert 0.0 <= val_acc <= 1.0 and 0.0 <= test_acc <= 1.0
+
+    model, variables = tiny_resnet()
+    cfg = make_cfg(
+        corpus, tmp_path, curriculum=True, save=str(tmp_path / "rn_snaps"),
+        eval_datasets=["PatchCamelyonVal"], epochs=1, log_dir=str(tmp_path / "prog_logs"),
+    )
+    from flyp_tpu.training.progress import flyp_progress_validation
+
+    beam = flyp_progress_validation(
+        cfg, logger, model=model, variables=variables, beam_size=1, num_rounds=1,
+        select_metric="Avg OOD Acc",
+    )
+    assert len(beam) >= 1
+
+
 def test_linear_probe(corpus, tmp_path):
     model, variables = tiny_model()
     cfg = make_cfg(
