@@ -52,7 +52,18 @@ def make_fisher_step(model, head, label_smoothing: float = 0.0):
 
     @jax.jit
     def fisher_step(params, batch_stats, images, rng):
-        feats = _encode(params, batch_stats, images)
+        if batch_stats is None:
+            feats = _encode(params, None, images)
+        else:
+            # The reference protocol is batch_size=1 (`fisher.py:50,62`): ONE
+            # forward provides both the sampling logits and the backward, so
+            # with train-mode BN each example is normalized by its own
+            # statistics in BOTH places.  Sample from the same per-example-BN
+            # softmax the per-example gradient below differentiates — a
+            # full-batch-BN sampling forward would draw labels from a
+            # different distribution than the one whose log-prob is being
+            # differentiated, biasing the Fisher estimate.
+            feats = jax.vmap(lambda im: _encode(params, batch_stats, im[None])[0])(images)
         logits = head(feats).astype(jnp.float32)
         labels = jax.random.categorical(rng, logits, axis=-1)
 

@@ -513,6 +513,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             start_epoch = cursor.epoch + 1
             if cfg.curriculum and cur_guidance is not None:
                 ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, ori_proportion)
+            elif cur_guidance is not None:
+                # Fixed-guidance runs (--baseline / --guidance N) keep training
+                # on the quietly-built epoch-0 loader — re-emit the guidance
+                # row its build suppressed so the resumed metrics stream has
+                # the same shape as an uninterrupted run's.
+                logger.info(f"loading image guidance = {cur_guidance}, loop times {cur_str_times}")
+                sink.log({"Epoch": start_epoch, "Image Guidance": cur_guidance})
         # stats.tsv is rewritten from the in-memory list at each epoch
         # end; reload the completed epochs' rows so a resumed run keeps
         # the cumulative file instead of silently dropping pre-resume
@@ -610,7 +617,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 # vector collectively when clustering needs it.
                 m = dict(m)
                 per_item = m.pop("per_item_loss", None)
-                m = jax.device_get(m)  # ONE host transfer for the scalars
+                if img_ids is not None and jax.process_count() == 1:
+                    # Single host: the per-item vector rides the SAME transfer
+                    # as the scalars — one host round trip per drained step.
+                    m, per_item_host = jax.device_get((m, per_item))
+                else:
+                    per_item_host = None
+                    m = jax.device_get(m)  # ONE host transfer for the scalars
                 loss_val = float(m["loss"])
                 if not np.isfinite(loss_val):
                     # Failure detection (SURVEY.md §5): surface divergence at the
@@ -621,8 +634,13 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                     )
                 id_flyp_loss_sum += loss_val
                 if img_ids is not None:
+                    if per_item_host is None:
+                        # Multi-host: reassemble the batch-sharded vector
+                        # collectively (a plain device_get raises on
+                        # non-fully-addressable arrays).
+                        per_item_host = _global_host_state(per_item)
                     loss_pairs.extend(
-                        zip(np.asarray(img_ids).tolist(), np.asarray(_global_host_state(per_item)).tolist())
+                        zip(np.asarray(img_ids).tolist(), np.asarray(per_item_host).tolist())
                     )
                 record = {
                     "Epoch": epoch,

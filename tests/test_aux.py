@@ -73,18 +73,33 @@ def test_auto_resume(corpus, tmp_path):
     save = str(tmp_path / "ckpt")
     model, variables = tiny_model()
 
-    # Run 1: single epoch, checkpoint_0 written.
-    cfg = base_cfg(corpus, tmp_path, epochs=1, save=save)
+    # Run 1: single epoch, checkpoint_0 written.  baseline=True makes this a
+    # fixed-guidance run (cur_guidance=100) and debug=False enables the JSONL
+    # sink so the guidance-row bookkeeping below is observable.
+    cfg = base_cfg(corpus, tmp_path, epochs=1, save=save, baseline=True, debug=False)
     flyp_train(cfg, model=model, variables=variables, print_every=10)
     assert os.path.isdir(os.path.join(save, "checkpoint_0"))
 
     # Run 2: epochs=2 resumes from checkpoint_0 and only runs epoch 1.
     model2, variables2 = tiny_model()
-    cfg2 = base_cfg(corpus, tmp_path, epochs=2, save=save, log_dir=str(tmp_path / "logs2"))
+    cfg2 = base_cfg(
+        corpus, tmp_path, epochs=2, save=save, log_dir=str(tmp_path / "logs2"),
+        baseline=True, debug=False,
+    )
     flyp_train(cfg2, model=model2, variables=variables2, print_every=10)
     assert os.path.isdir(os.path.join(save, "checkpoint_1"))
     stats = pd.read_csv(os.path.join(cfg2.log_dir, "stats.tsv"), sep="\t")
     assert stats["Epoch"].tolist() == [1]  # only the resumed epoch ran
+
+    # Fixed-guidance epoch resume keeps training on the quietly-built epoch-0
+    # loader but must re-emit its suppressed "Image Guidance" row, so the
+    # resumed metrics stream has the same shape as an uninterrupted run's.
+    import json
+
+    with open(os.path.join(cfg2.log_dir, "metrics.jsonl")) as f:
+        guid_rows = [r for r in map(json.loads, f) if "Image Guidance" in r]
+    assert guid_rows and guid_rows[0]["Image Guidance"] == 100
+    assert guid_rows[0]["Epoch"] == 1  # the resumed epoch, not a spurious 0
 
 
 def test_nonfinite_loss_guard(corpus, tmp_path):

@@ -10,6 +10,7 @@ import pytest
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from flyp_tpu.config import ExperimentConfig
 from flyp_tpu.models import CLIPModel, MODEL_CONFIGS, init_clip_params
@@ -152,6 +153,65 @@ def test_bn_tower_ce_ablation_and_fisher(corpus, tmp_path):
 
     fisher = compute_fisher(cfg, logger, model=model, variables=variables, max_batches=1)
     assert any(np.any(l > 0) for l in jax.tree_util.tree_leaves(fisher))
+
+
+def test_fisher_bn_per_example_oracle():
+    """Decomposition oracle for the BN-tower Fisher step: the reference's
+    protocol is batch_size=1 (`fisher.py:50,62`) — ONE train-mode forward
+    supplies both the sampling logits and the backward, so each example's
+    label must be drawn from the SAME per-example-BN softmax its gradient
+    differentiates.  The batched fisher_step must equal an explicit
+    one-example-at-a-time loop sharing its label draws."""
+    from tests.test_flyp_trainer import tiny_resnet
+    from flyp_tpu.training.fisher import make_fisher_step
+
+    model, variables = tiny_resnet()
+    params, stats = variables["params"], variables["batch_stats"]
+    rng_np = np.random.default_rng(0)
+    W = jnp.asarray(rng_np.normal(size=(32, 5)).astype(np.float32))
+    head = lambda f: f.astype(jnp.float32) @ W
+    images = jnp.asarray(rng_np.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    rng = jax.random.key(7)
+
+    fisher_step = make_fisher_step(model, head)
+    sq_sum, n = fisher_step(params, stats, images, rng)
+    assert int(n) == 4
+
+    def enc1(p, im):
+        feats, _ = model.apply(
+            {"params": p, "batch_stats": stats}, im[None],
+            method="encode_image", train=True, mutable=["batch_stats"],
+        )
+        return feats[0]
+
+    # Per-example-BN logits; the distinction the oracle locks must be
+    # material: full-batch-BN logits differ for this data.
+    logits = jnp.stack([head(enc1(params, im)[None])[0] for im in images])
+    feats_b, _ = model.apply(
+        {"params": params, "batch_stats": stats}, images,
+        method="encode_image", train=True, mutable=["batch_stats"],
+    )
+    assert not np.allclose(np.asarray(head(feats_b)), np.asarray(logits), atol=1e-3)
+
+    labels = jax.random.categorical(rng, logits, axis=-1)
+
+    def loss1(p, im, lab):
+        lg = head(enc1(p, im)[None]).astype(jnp.float32)[0]
+        return -jax.nn.log_softmax(lg)[lab]
+
+    acc = jax.tree_util.tree_map(lambda a: jnp.zeros(a.shape, jnp.float32), params)
+    for i in range(4):
+        g = jax.grad(loss1)(params, images[i], labels[i])
+        acc = jax.tree_util.tree_map(lambda a, b: a + b.astype(jnp.float32) ** 2, acc, g)
+
+    for (path, ours), (_, ref) in zip(
+        jax.tree_util.tree_leaves_with_path(sq_sum),
+        jax.tree_util.tree_leaves_with_path(acc),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-6,
+            err_msg=f"fisher mismatch at {jax.tree_util.keystr(path)}",
+        )
 
 
 def test_bn_tower_few_shot_and_progress(corpus, tmp_path):
