@@ -115,7 +115,10 @@ def main(argv=None):
     ns = p.parse_args(argv)
 
     if ns.checkpoint is None:
-        assert ns.download_pretrained, "pass --checkpoint or --download_pretrained"
+        if not ns.download_pretrained:
+            p.error("pass --checkpoint or --download_pretrained")
+        if ns.model is None:
+            p.error("--download_pretrained needs --model (e.g. --model ViT-B/16)")
         from flyp_tpu.models.download import download_model
 
         ns.checkpoint = download_model(ns.model, ns.cache_dir)
