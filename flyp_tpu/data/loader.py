@@ -65,8 +65,10 @@ class DataLoader:
         self.epoch = 0
         self.start_batch = 0
         # Multi-host sharding (`wds.split_by_node` semantics, laion.py:464):
-        # every process computes the SAME seeded global order, then strides
-        # over it, so coverage is disjoint and exhaustive per epoch.
+        # every process computes the SAME seeded global order, then takes its
+        # batch-block stride of it, so coverage is disjoint and exhaustive
+        # per epoch AND the assembled global batches match a single-process
+        # run bitwise (see _epoch_order).
         # Defaults come from the JAX runtime at iteration time; EVAL loaders
         # pass shard_by_process=False so every host scores the full test set
         # (there is no cross-host metric reduction in the evaluator).
@@ -104,7 +106,27 @@ class DataLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         rank, count = self._proc()
         if count > 1:
-            order = order[: count * (len(order) // count)][rank::count]
+            if self.drop_last:
+                # Batch-block striding: global step k's assembled batch is
+                # order[k*count*B : (k+1)*count*B] — the SAME contiguous
+                # slice of the seeded global order a single-process loader
+                # would yield.  Device-order assembly (process p's rows land
+                # at global rows [p*B, (p+1)*B)) then makes the global batch
+                # stream process-layout-INVARIANT: N-process and 1-process
+                # runs see bitwise-identical global batches, so a run can
+                # resume on a different host count without changing its data
+                # trajectory (asserted for real in test_multiprocess.py).
+                # Element striding (order[rank::count], wds.split_by_node's
+                # layout) would permute rows within each global batch.
+                block = count * self.batch_size
+                usable = block * (len(order) // block)
+                order = (
+                    order[:usable]
+                    .reshape(-1, count, self.batch_size)[:, rank, :]
+                    .reshape(-1)
+                )
+            else:
+                order = order[: count * (len(order) // count)][rank::count]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

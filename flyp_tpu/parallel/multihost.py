@@ -55,12 +55,14 @@ def process_index() -> int:
 
 
 def is_primary() -> bool:
-    """True on the process that owns artifact writes (checkpoints, stats
-    TSVs, metric sinks).  On multi-host runs every process computes
-    identical epoch stats (eval loaders are replicated) and holds the same
-    (replicated or re-assemblable) train state, so exactly one writer is
-    both sufficient and required: concurrent orbax saves to one directory
-    delete-then-write racily."""
+    """True on the process that owns DIRECT artifact writes (stats TSVs,
+    metric sinks, pickle dumps, step-checkpoint pruning).  On multi-host
+    runs every process computes identical epoch stats (eval loaders are
+    replicated), so exactly one writer is both sufficient and required:
+    concurrent TSV/JSONL writes to shared storage would race.  Orbax
+    checkpoint saves are the exception — they are COLLECTIVE (all
+    processes must call; orbax elects its own single writer internally),
+    so never gate ``save_checkpoint`` on this."""
     try:
         return jax.process_index() == 0
     except Exception:  # pragma: no cover

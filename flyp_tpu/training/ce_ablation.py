@@ -186,9 +186,11 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
 
         if cfg.save is not None:
             model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
-            if primary:  # single writer (see flyp.py)
-                os.makedirs(cfg.save, exist_ok=True)
-                save_checkpoint(model_path, jax.device_get(state))
+            # Collective: orbax barrier-syncs every process inside save (a
+            # primary-only call deadlocks — see flyp.py / test_multiprocess).
+            os.makedirs(cfg.save, exist_ok=True)
+            save_checkpoint(model_path, jax.device_get(state))
+            if primary:
                 logger.info("Saving model to " + str(model_path))
 
         ood_acc = _avg_ood_acc(epoch_stats)

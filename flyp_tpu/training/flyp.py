@@ -255,8 +255,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     logger = logger or get_logger(log_dir)
     # Single-writer rule: on multi-host runs every process computes identical
     # epoch stats (replicated eval) and the same state, so only process 0
-    # writes artifacts — concurrent orbax saves / TSV writes to shared
-    # storage would race (delete-then-write) from N processes.
+    # writes TSVs/JSONL/pickles — concurrent writes to shared storage would
+    # race.  Orbax checkpoint saves are the one exception: they are
+    # collective (all processes call; orbax elects its own writer).
     from flyp_tpu.parallel.multihost import is_primary
 
     primary = is_primary()
@@ -399,35 +400,46 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     state = create_train_state(variables["params"], optimizer, variables.get("batch_stats"))
     use_tp = cfg.mesh_model > 1
 
-    def build_step(optimizer):
-        # TP and FSDP states carry their own shardings — the jit must infer
-        # from its inputs (mesh=None); passing the mesh would pin replicated
-        # in_shardings and silently undo the ZeRO/TP placement.
+    def build_step(optimizer, placed_state=None):
+        # TP and FSDP states carry their own shardings — pin the jit's state
+        # in/out shardings to that EXACT placement (not the replicated mesh
+        # default, which would silently undo ZeRO/TP).  Pinning the outputs
+        # too keeps every step — fresh, post-drestart, or post-restore — on
+        # ONE executable: with inferred out-shardings the state drifts to an
+        # equivalently-sharded but differently-spelled placement, a restored
+        # state then compiles a second executable, and its ULP-different
+        # reduction order breaks bitwise resume (test_multiprocess.py).
+        state_shardings = (
+            jax.tree_util.tree_map(lambda x: x.sharding, placed_state)
+            if placed_state is not None
+            else None
+        )
         return make_train_step(
             model, optimizer,
-            mesh=None if (use_tp or cfg.fsdp) else mesh,
+            mesh=mesh,
             log_grad_norm=cfg.log_grad_norm,
             freeze_encoder=cfg.freeze_encoder,
             grad_cache_chunks=cfg.grad_cache_chunks,
+            state_shardings=state_shardings,
         )
 
     if use_tp:
         # Tensor-parallel over the model axis: params/moments carry Megatron
-        # shardings and the jitted step infers TP x DP from its inputs.
+        # shardings; the jitted step runs TP x DP under those pins.
         from flyp_tpu.parallel.tp import shard_train_state
 
         # The fused-QKV Pallas kernel is GSPMD-partitionable (its
         # custom_partitioning rule keeps batch sharding and gathers the
         # model-axis feature shards), so TP runs keep the flagship kernel.
         state = shard_train_state(mesh, state)
-        step_fn = build_step(optimizer)
+        step_fn = build_step(optimizer, state)
     elif cfg.fsdp:
         # ZeRO-style: params + AdamW moments sharded over the data axis;
         # GSPMD inserts the gathers/reduce-scatters (SURVEY §2.7 optional).
         from flyp_tpu.parallel.fsdp import shard_train_state_fsdp
 
         state = shard_train_state_fsdp(mesh, state)
-        step_fn = build_step(optimizer)
+        step_fn = build_step(optimizer, state)
     else:
         state = replicate(mesh, state)
         step_fn = build_step(optimizer)
@@ -569,7 +581,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                         max(cfg.epochs - cfg.curriculum_epoch, 1), num_batches, cfg.min_lr,
                     )
                     optimizer = make_optimizer(schedule_r, cfg.wd, cfg.adam_moment_dtype)
-                    step_fn = build_step(optimizer)
+                    step_fn = build_step(
+                        optimizer, state if (use_tp or cfg.fsdp) else None
+                    )
                 if cur_guidance != 0 and cur_guidance != 100:
                     logger.info("Restart dataloader")
                     cur_guidance = 100
@@ -740,23 +754,27 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                         drain_metrics(pend)
                     if cfg.save is not None:
                         step_path = os.path.join(cfg.save, f"checkpoint_{epoch}_step_{i}")
-                        # Collective fetch on ALL hosts, then single-writer save.
+                        # Collective fetch AND collective save on ALL hosts:
+                        # orbax's save path barrier-syncs every JAX process (a
+                        # primary-only call deadlocks the primary — executed
+                        # proof in test_multiprocess.py); orbax itself writes
+                        # from exactly one host.
                         ckpt_state = _global_host_state(state)
+                        os.makedirs(cfg.save, exist_ok=True)
+                        save_checkpoint(
+                            step_path,
+                            ckpt_state,
+                            CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id),
+                            async_save=True,
+                            mid=StepCursor(
+                                i,
+                                data_pass,
+                                batch_in_pass,
+                                id_flyp_loss_sum,
+                                -1.0 if cur_proportion is None else float(cur_proportion),
+                            ),
+                        )
                         if primary:
-                            os.makedirs(cfg.save, exist_ok=True)
-                            save_checkpoint(
-                                step_path,
-                                ckpt_state,
-                                CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id),
-                                async_save=True,
-                                mid=StepCursor(
-                                    i,
-                                    data_pass,
-                                    batch_in_pass,
-                                    id_flyp_loss_sum,
-                                    -1.0 if cur_proportion is None else float(cur_proportion),
-                                ),
-                            )
                             logger.info("Saving step checkpoint to " + step_path)
                             # Superseded step checkpoints (full params+moments
                             # payloads) would grow disk without bound on a long
@@ -790,15 +808,17 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             # -- checkpoint (`flyp_loss.py:545-552`) ------------------------------
             if cfg.save is not None and not cfg.ma_progress:
                 model_path = os.path.join(cfg.save, f"checkpoint_{epoch}")
-                # Collective fetch on ALL hosts (sharded state spans processes
-                # under FSDP/TP); only the primary then writes.
+                # Collective fetch AND collective save on ALL hosts (sharded
+                # state spans processes under FSDP/TP, and orbax's save
+                # barrier-syncs every process — a primary-only call deadlocks);
+                # orbax writes from exactly one host.
                 ckpt_state = _global_host_state(state)
+                os.makedirs(cfg.save, exist_ok=True)
+                cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
+                # Async: the commit overlaps the eval suites below; both
+                # return sites wait_for_saves() so nothing outlives the run.
+                save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
                 if primary:
-                    os.makedirs(cfg.save, exist_ok=True)
-                    cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
-                    # Async: the commit overlaps the eval suites below; both
-                    # return sites wait_for_saves() so nothing outlives the run.
-                    save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
                     logger.info("Saving model to " + str(model_path))
                     # The epoch checkpoint supersedes this epoch's step saves;
                     # keep 1 as the committed fallback while this write lands.

@@ -75,6 +75,7 @@ def make_chunked_train_step(
     donate: bool = True,
     log_grad_norm: bool = False,
     freeze_encoder: bool = False,
+    state_shardings=None,
 ) -> Callable:
     """Build a chunked train step with :func:`make_train_step`'s interface.
 
@@ -172,4 +173,5 @@ def make_chunked_train_step(
     return jit_train_step(
         train_step, mesh,
         use_ground_labels=use_ground_labels, donate=donate, log_grad_norm=log_grad_norm,
+        state_shardings=state_shardings,
     )

@@ -82,6 +82,7 @@ def jit_train_step(
     use_ground_labels: bool,
     donate: bool,
     log_grad_norm: bool,
+    state_shardings=None,
 ) -> Callable:
     """The shared jit/sharding scaffold (direct and GradCache steps).
 
@@ -89,6 +90,17 @@ def jit_train_step(
     axes; the unlabelled contrastive path keeps its per-item losses
     batch-sharded (the curriculum clustering consumes them host-side), the
     labelled supervised variants reduce to replicated scalars.
+
+    ``state_shardings`` (a TrainState-shaped tree of NamedShardings, from a
+    TP/FSDP-placed state) replaces the replicated default for the state
+    argument AND output.  Pinning BOTH matters for exact resume: with
+    inferred shardings, the step's outputs can drift to equivalent-but-
+    differently-spelled placements, so a restored state (placed by
+    shard_train_state*) compiles a SECOND executable whose reduction order
+    differs at the ULP level — a resumed FSDP run then diverges ~1e-9/step
+    from the uninterrupted one (caught by test_multiprocess.py's real
+    2-process FSDP resume).  One pinned spelling -> one executable ->
+    bitwise resume.
     """
     donate_args = (0,) if donate else ()
     if not use_ground_labels:
@@ -97,14 +109,15 @@ def jit_train_step(
         if mesh is None:
             return jax.jit(unlabelled, donate_argnums=donate_args)
         repl = replicated_sharding(mesh)
+        state_sh = repl if state_shardings is None else state_shardings
         batch = batch_sharding(mesh)
         metric_shardings = {"loss": repl, "per_item_loss": batch, "learning_rate": repl}
         if log_grad_norm:
             metric_shardings["grad_norm"] = repl
         return jax.jit(
             unlabelled,
-            in_shardings=(repl, batch, batch),
-            out_shardings=(repl, metric_shardings),
+            in_shardings=(state_sh, batch, batch),
+            out_shardings=(state_sh, metric_shardings),
             donate_argnums=donate_args,
         )
 
@@ -112,14 +125,15 @@ def jit_train_step(
         return jax.jit(train_step, donate_argnums=donate_args)
 
     repl = replicated_sharding(mesh)
+    state_sh = repl if state_shardings is None else state_shardings
     batch = batch_sharding(mesh)
     metric_shardings = {"loss": repl, "per_item_loss": repl, "learning_rate": repl}
     if log_grad_norm:
         metric_shardings["grad_norm"] = repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, batch, batch, batch),
-        out_shardings=(repl, metric_shardings),
+        in_shardings=(state_sh, batch, batch, batch),
+        out_shardings=(state_sh, metric_shardings),
         donate_argnums=donate_args,
     )
 
@@ -136,6 +150,7 @@ def make_train_step(
     log_grad_norm: bool = False,
     freeze_encoder: bool = False,
     grad_cache_chunks: int = 1,
+    state_shardings=None,
 ) -> Callable:
     """Build the compiled train step.
 
@@ -169,6 +184,7 @@ def make_train_step(
             ignore=ignore, google_sup_loss=google_sup_loss,
             use_ground_labels=use_ground_labels, donate=donate,
             log_grad_norm=log_grad_norm, freeze_encoder=freeze_encoder,
+            state_shardings=state_shardings,
         )
 
     def train_step(state: TrainState, images, tokens, ground_labels=None):
@@ -206,4 +222,5 @@ def make_train_step(
     return jit_train_step(
         train_step, mesh,
         use_ground_labels=use_ground_labels, donate=donate, log_grad_norm=log_grad_norm,
+        state_shardings=state_shardings,
     )

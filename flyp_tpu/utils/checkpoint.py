@@ -113,9 +113,11 @@ def save_checkpoint(
     and commits the write on a background thread — the trainer's per-epoch
     save then overlaps the eval suites that follow instead of stalling the
     epoch loop (the reference's torch.save blocks, `flyp_loss.py:545-552`).
-    Single-process only: orbax's async path coordinates across processes,
-    and this framework's single-writer rule means only process 0 calls save
-    — so multi-host runs fall back to the synchronous write.
+    Multi-host runs fall back to the synchronous write, and the call is a
+    COLLECTIVE there: orbax barrier-syncs every JAX process inside save (a
+    primary-only call deadlocks the primary — executed proof in
+    test_multiprocess.py), then writes from exactly one host.  Call it on
+    ALL processes; gate only logging/pruning on ``is_primary``.
 
     ``mid`` marks a MID-EPOCH (step) checkpoint: the payload gains a "mid"
     leaf group and must be restored with ``restore_checkpoint(...,

@@ -128,18 +128,21 @@ def test_flyp_train_grad_cache(corpus, tmp_path):
     assert np.isfinite(stats["Avg ID FLYP Loss"].iloc[0])
 
 
-def test_fsdp_curriculum_restart_keeps_inferred_shardings(corpus, tmp_path, monkeypatch):
-    """FSDP + drestart curriculum: the scheduler-restart step_fn rebuild must
-    keep mesh=None (shardings inferred from the ZeRO-placed state).  A
-    mesh-pinned rebuild would silently reshard params/moments to replicated
-    mid-run — regression test for the build_step consolidation."""
+def test_fsdp_curriculum_restart_keeps_pinned_shardings(corpus, tmp_path, monkeypatch):
+    """FSDP + drestart curriculum: every step_fn build — the fresh one AND
+    the scheduler-restart rebuild — must pin state_shardings from the
+    ZeRO-placed state.  A replicated-default rebuild would silently reshard
+    params/moments mid-run, and a shardings-inferred one would compile a
+    second, ULP-divergent executable (breaking bitwise resume) — regression
+    test for the build_step consolidation."""
     import flyp_tpu.training.flyp as flyp_mod
+    from flyp_tpu.parallel.mesh import DATA_AXIS
 
-    seen_meshes = []
+    seen = []
     real_make = flyp_mod.make_train_step
 
     def recording_make(model, optimizer, mesh=None, **kw):
-        seen_meshes.append(mesh)
+        seen.append((mesh, kw.get("state_shardings")))
         return real_make(model, optimizer, mesh=mesh, **kw)
 
     monkeypatch.setattr(flyp_mod, "make_train_step", recording_make)
@@ -150,11 +153,16 @@ def test_fsdp_curriculum_restart_keeps_inferred_shardings(corpus, tmp_path, monk
     )
     flyp_train(cfg, model=model, variables=variables, print_every=2)
 
-    assert len(seen_meshes) >= 2, "curriculum restart never rebuilt the step"
-    assert all(m is None for m in seen_meshes), (
-        "FSDP runs must always build the step with mesh=None; got "
-        f"{seen_meshes}"
-    )
+    assert len(seen) >= 2, "curriculum restart never rebuilt the step"
+    import jax
+
+    for mesh, shardings in seen:
+        assert mesh is not None, "FSDP builds must pass the mesh (batch/metric specs)"
+        assert shardings is not None, "FSDP builds must pin state_shardings"
+        specs = {s.spec for s in jax.tree_util.tree_leaves(shardings)}
+        assert any(DATA_AXIS in str(spec) for spec in specs), (
+            f"pinned shardings lost the ZeRO data-axis placement: {specs}"
+        )
 
 
 def test_flyp_train_curriculum(corpus, tmp_path):

@@ -119,3 +119,22 @@ def test_one_step_lag_contract():
     assert host_cast_images(f32, jnp.bfloat16).dtype == ml_dtypes.bfloat16
     assert host_cast_images(f32, jnp.float32).dtype == np.float32
     assert host_cast_images(u8, jnp.bfloat16).dtype == np.uint8
+
+
+def test_validate_checkpoint_argparse_errors(capsys):
+    """The two bad-flag combinations exit with argparse errors, not
+    tracebacks: no source at all, and --download_pretrained without the
+    model name it needs (ADVICE round-4 coverage gap)."""
+    import pytest
+
+    from flyp_tpu.tools.validate_checkpoint import main
+
+    with pytest.raises(SystemExit) as exc:
+        main([])
+    assert exc.value.code == 2
+    assert "pass --checkpoint or --download_pretrained" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--download_pretrained"])
+    assert exc.value.code == 2
+    assert "--download_pretrained needs --model" in capsys.readouterr().err
