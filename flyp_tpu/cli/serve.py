@@ -94,7 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", "--clip_load", dest="checkpoint", required=True,
                    help="trainer checkpoint dir (epoch or step), bare param tree, or torch .pt")
     p.add_argument("--model", default="ViT-B/16", help="model config name (default ViT-B/16)")
-    p.add_argument("--images", nargs="+", required=True, help="image files and/or directories")
+    p.add_argument("--images", nargs="+", default=None,
+                   help="image files and/or directories (batch mode; not used with --http)")
     p.add_argument("--classnames", default=None, help="comma-separated class names")
     p.add_argument("--train-dataset", default=None,
                    help="dataset name whose classnames build the zero-shot head")
@@ -108,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compiled batch buckets, ascending (default 8,64,256)")
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--warmup", action="store_true", help="AOT-compile every bucket before serving")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve over HTTP instead of batch mode (serving/http.py: "
+                        "POST /classify, /features, /text_features; GET /healthz)")
+    p.add_argument("--http-host", default="127.0.0.1",
+                   help="HTTP bind address (default loopback; 0.0.0.0 to expose)")
     return p
 
 
@@ -116,7 +122,9 @@ def main(argv=None, config_override=None) -> int:
     used by tests to serve tiny models; the CLI path always resolves
     ``--model``."""
     args = build_parser().parse_args(argv)
-    if args.features is None and not (args.classnames or args.train_dataset):
+    if args.http is None and args.images is None:
+        raise SystemExit("batch mode needs --images (or pass --http PORT to serve over HTTP)")
+    if args.http is None and args.features is None and not (args.classnames or args.train_dataset):
         raise SystemExit("classification needs --classnames or --train-dataset "
                          "(or pass --features to dump embeddings)")
     if args.top_k < 1:
@@ -125,18 +133,39 @@ def main(argv=None, config_override=None) -> int:
     from flyp_tpu.serving import ClipServer
 
     buckets = tuple(int(b) for b in args.image_buckets.split(","))
-    classnames = None if args.features else _resolve_classnames(args)
+    if args.http is not None:
+        # HTTP mode: the head is optional (feature-only servers answer
+        # /features and /text_features; /classify then 400s).
+        classnames = _resolve_classnames(args) if (args.classnames or args.train_dataset) else None
+    else:
+        classnames = None if args.features else _resolve_classnames(args)
     srv = ClipServer.from_checkpoint(
         args.checkpoint,
         model=args.model,
         classnames=classnames,
-        template=None if args.features else _resolve_template(args),
+        template=_resolve_template(args) if classnames is not None else None,
         compute_dtype=args.compute_dtype,
         config_override=config_override,
         image_buckets=buckets,
     )
     if args.warmup:
         srv.warmup()
+
+    if args.http is not None:
+        from flyp_tpu.serving import serve_http
+
+        httpd = serve_http(srv, args.http, classnames=classnames, host=args.http_host)
+        host, port = httpd.server_address[:2]
+        print(f"serving on http://{host}:{port} "
+              f"(/healthz, /features, /text_features{', /classify' if srv.head is not None else ''})",
+              flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+        return 0
 
     paths = collect_image_paths(args.images)
     batches = decoded_batches(paths, srv.model.config.vision.image_size, buckets[-1])

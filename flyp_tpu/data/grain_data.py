@@ -66,9 +66,20 @@ class GrainLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self._start_batch = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Advance the shuffle stream; ``start_batch`` fast-forwards the
+        next iteration past its first k batches — the mid-epoch resume hook
+        (same contract as ``loader.DataLoader.set_epoch``).  Grain's
+        sampler order and per-record RNG are fully determined by
+        ``(seed, epoch, index)``, so skipping reproduces the exact
+        remaining stream.  Unlike the threads backend the skip DECODES the
+        consumed prefix once at resume (grain's iterator state lives inside
+        grain; replaying k batches keeps the one StepCursor resume path for
+        every backend) — a one-time cost per preemption."""
         self._epoch = int(epoch)
+        self._start_batch = int(start_batch)
 
     def __len__(self) -> int:
         import grain
@@ -111,7 +122,12 @@ class GrainLoader:
             operations=[grain.transforms.Batch(self.batch_size, drop_remainder=self.drop_last)],
             worker_count=self.num_workers,
         )
-        return iter(loader)
+        it = iter(loader)
+        if self._start_batch:
+            import itertools
+
+            it = itertools.islice(it, self._start_batch, None)
+        return it
 
 
 def get_grain_csv_loader(

@@ -82,6 +82,18 @@ class ClipServer:
     False`` for raw tower outputs).  Multi-chip serving is just this object
     under ``jax.jit`` sharding — feature extraction is embarrassingly
     batch-parallel; one chip is usually latency-optimal per replica.
+
+    **Concurrency**: every request method (``encode_images``,
+    ``encode_texts``, ``classify``, ``top_k``, and the ``stream_*``
+    iterators) is REENTRANT — each call owns its buffers/lag queue, the
+    instance attributes it reads (``variables``, ``head``, buckets) are
+    never mutated after construction, and JAX's dispatch is thread-safe —
+    so concurrent callers are safe and simply share device throughput
+    (asserted by ``test_serving.py::test_concurrent_callers_match_sequential``).
+    Results within one call stay ordered; fairness across callers is
+    whatever the device queue does.  Setup-time operations (``warmup``, or
+    swapping ``variables``/``head`` by hand) are NOT synchronized with
+    in-flight requests — finish them before serving traffic.
     """
 
     def __init__(

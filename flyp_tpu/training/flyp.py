@@ -289,27 +289,21 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
     if cfg.save_every_n_steps or cfg.max_steps:
         # Step checkpoints promise an EXACT resumed trajectory, which needs
-        # the seeded-order CSV loader's batch-level fast-forward
-        # (data/loader.py set_epoch(start_batch=...)); streaming/tfdata/grain
-        # backends cannot replay "the rest of pass p" exactly.
+        # a batch-level fast-forward of a seeded order: the threads/native
+        # CSV loader skips for free (data/loader.py set_epoch(start_batch)),
+        # Grain replays the consumed prefix once (grain_data.py set_epoch).
+        # tf.data's shuffle buffer and webdataset's tar streams cannot
+        # replay "the rest of pass p" exactly.
         from flyp_tpu.data.webdataset import is_webdataset as _is_wds
 
-        if getattr(cfg, "data_backend", "threads") in ("tfdata", "grain") or _is_wds(
+        if getattr(cfg, "data_backend", "threads") == "tfdata" or _is_wds(
             cfg.ft_data, cfg.dataset_type
         ):
             raise ValueError(
-                "--save_every_n_steps/--max_steps need the threads/native CSV "
-                "backend (deterministic mid-epoch fast-forward); "
+                "--save_every_n_steps/--max_steps need the threads/native/grain "
+                "CSV backends (deterministic mid-epoch fast-forward); "
                 f"data_backend={cfg.data_backend!r} or webdataset streams are unsupported"
             )
-        if cfg.progress:
-            raise ValueError(
-                "--save_every_n_steps/--max_steps with --progress is unsupported: "
-                "progress-driven guidance selection holds host state (last_perform, "
-                "the exploration RNG) that step checkpoints do not carry, so a "
-                "resumed run could choose a different guidance and silently diverge"
-            )
-
     import ml_dtypes
 
     from flyp_tpu.data.loader import prefetch_to_device
@@ -449,6 +443,7 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     stats = []
     last_perform: dict = {}
     loss_pairs: list = []
+    resume_progress_ma: dict = {}  # mid-epoch resume restores the MA dict
     model_path = None
     start_epoch = 0
 
@@ -458,10 +453,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     # checkpoints (--save_every_n_steps / --max_steps) additionally carry a
     # StepCursor and resume MID-epoch with an exact trajectory: same loader
     # pass, same remaining batches (seeded order fast-forward), same partial
-    # epoch-loss sum.  Caveats (documented, matching the epoch-resume
-    # limitations for cross-epoch dicts): `--cluster loss` loss_pairs and
-    # `--ma_progress` moving averages accumulated before the save are not
-    # checkpointed — params/optimizer trajectory stays exact either way.
+    # epoch-loss sum.  Checkpoints additionally carry the trainer HOST state
+    # (the reference persists only its curriculum cursor,
+    # `flyp_loss.py:545-552`): progress's last_perform + exploration RNG
+    # stream, `--cluster loss` loss_pairs, and `--ma_progress` moving
+    # averages all round-trip, so resumed --progress runs reproduce the
+    # uninterrupted run's guidance choices exactly.
     data_pass = 0
     batch_in_pass = 0
     cur_proportion = ori_proportion  # the active loader's ori_proportion
@@ -473,25 +470,31 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
         kind, path = resume_found
         logger.info(f"Auto-resuming from {path}")
-        if cfg.progress:
-            # Same limitation class the step-checkpoint guard REJECTS
-            # (lines above): progress-driven guidance selection holds
-            # host state (last_perform, the exploration RNG) that
-            # checkpoints do not carry, so the resumed run re-baselines
-            # progress at zero and restarts the exploration stream — the
-            # curriculum can diverge from the uninterrupted run.  Epoch
-            # resume stays allowed (the reference has no resume at all);
-            # warn instead of silently diverging.
-            logger.warning(
-                "auto-resume with --progress: last_perform and the "
-                "exploration RNG are not checkpointed; progress-driven "
-                "guidance choices may diverge from an uninterrupted run"
-            )
         host_state = _global_host_state(state)
         if kind == "step":
-            host_state, cursor, mid_cursor = restore_checkpoint(path, host_state, mid=True)
+            host_state, cursor, mid_cursor, host_blob = restore_checkpoint(
+                path, host_state, mid=True, host=True
+            )
         else:
-            host_state, cursor = restore_checkpoint(path, host_state)
+            host_state, cursor, host_blob = restore_checkpoint(path, host_state, host=True)
+        if host_blob is not None:
+            # Trainer host state round-trips: progress selection and loss
+            # clustering continue exactly where the saved run stood.
+            last_perform = host_blob["last_perform"]
+            loss_pairs = [list(p) for p in host_blob["loss_pairs"]]
+            explore_rng.bit_generator.state = host_blob["explore_rng"]
+            resume_progress_ma = {int(k): v for k, v in host_blob["progress_ma"].items()}
+        elif cfg.progress:
+            # Pre-round-5 checkpoints carry no host state: the resumed run
+            # re-baselines progress at zero and restarts the exploration
+            # stream, so guidance choices may diverge.  Warn, don't refuse
+            # (the reference has no resume at all).
+            logger.warning(
+                "auto-resume with --progress from a checkpoint without host "
+                "state: last_perform and the exploration RNG restart; "
+                "progress-driven guidance choices may diverge from an "
+                "uninterrupted run"
+            )
         if use_tp:
             from flyp_tpu.parallel.tp import shard_train_state
 
@@ -519,7 +522,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
             # Rebuild the loader the original run was mid-way through and
             # fast-forward past its consumed batches; the iterator then
             # yields exactly the stream the preempted run would have seen.
-            ft_loader = load_train_loader(start_epoch, cur_guidance, cur_str_times, cur_proportion)
+            # log_row=False: the interrupted run already logged this pass's
+            # "Image Guidance" row to the shared metrics stream — re-logging
+            # would duplicate it vs an uninterrupted run.
+            ft_loader = load_train_loader(
+                start_epoch, cur_guidance, cur_str_times, cur_proportion, log_row=False
+            )
             ft_loader.set_epoch(data_pass, start_batch=batch_in_pass)
         else:
             start_epoch = cursor.epoch + 1
@@ -603,7 +611,10 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
             logger.info(f"Epoch : {epoch}")
             epoch_stats = {"Epoch": epoch, "epoch": epoch}
-            progress_ma: dict = {}
+            # The per-epoch moving-average dict: a mid-epoch resume re-enters
+            # this epoch with the saved MA state; every other epoch starts
+            # fresh (matching an uninterrupted run, which resets it here).
+            progress_ma: dict = resume_progress_ma if epoch == resume_epoch_mid else {}
             # Mid-epoch resume re-enters this epoch at the saved step with the
             # saved partial loss sum, so stats.tsv matches an uninterrupted run.
             start_step = resume_step if epoch == resume_epoch_mid else 0
@@ -773,6 +784,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                                 id_flyp_loss_sum,
                                 -1.0 if cur_proportion is None else float(cur_proportion),
                             ),
+                            host={
+                                "last_perform": last_perform,
+                                "explore_rng": explore_rng.bit_generator.state,
+                                "loss_pairs": loss_pairs,
+                                "progress_ma": {str(k): v for k, v in progress_ma.items()},
+                            },
                         )
                         if primary:
                             logger.info("Saving step checkpoint to " + step_path)
@@ -817,7 +834,22 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 cursor = CurriculumCursor(epoch, cur_guidance, cur_str_times, cur_guidance_id)
                 # Async: the commit overlaps the eval suites below; both
                 # return sites wait_for_saves() so nothing outlives the run.
-                save_checkpoint(model_path, ckpt_state, cursor, async_save=True)
+                # Host-state snapshot semantics: in-epoch --progress
+                # choices update last_perform at pass ends, all BEFORE this
+                # save, so epoch-resumed progress selection is exact.  The
+                # --progress_eval per-epoch dump runs AFTER this save
+                # (reference artifact order, `flyp_loss.py:545-597`), so an
+                # epoch-resume re-baselines that one dump's deltas — a
+                # logging-only divergence, documented in PARITY div. 17.
+                save_checkpoint(
+                    model_path, ckpt_state, cursor, async_save=True,
+                    host={
+                        "last_perform": last_perform,
+                        "explore_rng": explore_rng.bit_generator.state,
+                        "loss_pairs": loss_pairs,
+                        "progress_ma": {str(k): v for k, v in progress_ma.items()},
+                    },
+                )
                 if primary:
                     logger.info("Saving model to " + str(model_path))
                     # The epoch checkpoint supersedes this epoch's step saves;

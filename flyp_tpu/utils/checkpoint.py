@@ -11,6 +11,7 @@ checkpointed, so resume is exact (SURVEY.md §5 "rebuild" item).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -72,6 +73,22 @@ class StepCursor:
         return cls(**out)
 
 
+def _encode_host_state(blob: Dict[str, Any]) -> np.ndarray:
+    """JSON-encode trainer host state (last_perform, exploration RNG state,
+    loss_pairs, progress moving averages) as a uint8 checkpoint leaf.
+
+    JSON because the blob is heterogeneous small host data — string-keyed
+    float dicts, a PCG64 bit-generator state whose 128-bit ints Python's
+    json serializes losslessly — and a single opaque leaf keeps the orbax
+    payload schema stable regardless of which trainer features are on."""
+    s = json.dumps(blob, default=lambda o: o.item() if hasattr(o, "item") else float(o))
+    return np.frombuffer(s.encode("utf-8"), dtype=np.uint8).copy()
+
+
+def _decode_host_state(arr) -> Dict[str, Any]:
+    return json.loads(np.asarray(arr).tobytes().decode("utf-8"))
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 
@@ -106,6 +123,7 @@ def save_checkpoint(
     cursor: Optional[CurriculumCursor] = None,
     async_save: bool = False,
     mid: Optional[StepCursor] = None,
+    host: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Save a TrainState (+cursor) to ``path`` (an absolute directory).
 
@@ -121,8 +139,11 @@ def save_checkpoint(
 
     ``mid`` marks a MID-EPOCH (step) checkpoint: the payload gains a "mid"
     leaf group and must be restored with ``restore_checkpoint(...,
-    mid=True)``.  Epoch checkpoints keep the legacy payload shape, so old
-    checkpoints stay restorable."""
+    mid=True)``.  ``host`` adds trainer host state (progress curriculum's
+    last_perform / exploration RNG / moving averages, clustering
+    loss_pairs) as one JSON leaf; restore sniffs its presence from
+    checkpoint metadata.  Epoch checkpoints keep the legacy payload shape,
+    so old checkpoints stay restorable."""
     path = os.path.abspath(path)
     payload = {
         "step": state.step,
@@ -133,6 +154,8 @@ def save_checkpoint(
     }
     if mid is not None:
         payload["mid"] = mid.to_dict()
+    if host is not None:
+        payload["host_state"] = _encode_host_state(host)
     # np.asarray fetches device arrays to host HERE, so the background write
     # never races the training loop's donated device buffers.
     payload = jax.tree_util.tree_map(np.asarray, payload, is_leaf=lambda x: x is None)
@@ -143,13 +166,18 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(path: str, state, mid: bool = False):
+def restore_checkpoint(path: str, state, mid: bool = False, host: bool = False):
     """Restore into the structure of ``state``.
 
     Returns ``(state, cursor)``, or ``(state, cursor, step_cursor)`` when
-    ``mid=True`` (a step checkpoint written with ``mid=StepCursor(...)``)."""
+    ``mid=True`` (a step checkpoint written with ``mid=StepCursor(...)``).
+    ``host=True`` appends the decoded host-state dict as a final element —
+    or ``None`` when the checkpoint predates host-state saving (presence is
+    sniffed from checkpoint metadata, so round-4 checkpoints restore
+    unchanged)."""
     wait_for_saves()  # a just-async-written path must be committed first
     path = os.path.abspath(path)
+    ckptr = _checkpointer()
     template = {
         "step": state.step,
         "params": state.params,
@@ -159,7 +187,13 @@ def restore_checkpoint(path: str, state, mid: bool = False):
     }
     if mid:
         template["mid"] = StepCursor().to_dict()
-    restored = _checkpointer().restore(path, item=jax.tree_util.tree_map(np.asarray, template))
+    host_meta = None
+    if host:
+        meta = ckptr.metadata(path).item_metadata.tree
+        host_meta = meta.get("host_state") if isinstance(meta, dict) else None
+        if host_meta is not None:
+            template["host_state"] = np.zeros(tuple(host_meta.shape), np.uint8)
+    restored = ckptr.restore(path, item=jax.tree_util.tree_map(np.asarray, template))
     cursor = CurriculumCursor.from_dict(restored["cursor"])
     new_state = dataclasses.replace(
         state,
@@ -170,9 +204,12 @@ def restore_checkpoint(path: str, state, mid: bool = False):
         ),
         batch_stats=restored["batch_stats"] if state.batch_stats is not None else None,
     )
+    out = [new_state, cursor]
     if mid:
-        return new_state, cursor, StepCursor.from_dict(restored["mid"])
-    return new_state, cursor
+        out.append(StepCursor.from_dict(restored["mid"]))
+    if host:
+        out.append(_decode_host_state(restored["host_state"]) if host_meta is not None else None)
+    return tuple(out)
 
 
 def save_params(path: str, params) -> str:

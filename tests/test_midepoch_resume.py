@@ -154,7 +154,17 @@ def test_curriculum_midpass_resume_exact(corpus, tmp_path):  # noqa: F811
     pass), resuming with a rebuilt guidance-100 loader fast-forwarded one
     batch — the rollover bookkeeping (data_pass, batch_in_pass, guidance
     cursor) round-trips through the step checkpoint."""
-    base = dict(curriculum=True, epochs=1, seed=0)
+    # debug=False enables the JSONL metrics sink (no wandb in CI; the sink
+    # degrades to metrics.jsonl only) so the guidance-row stream of the
+    # production setup — ONE shared log dir across preemptions — is
+    # observable and comparable to an uninterrupted run's.
+    base = dict(curriculum=True, epochs=1, seed=0, debug=False)
+
+    import json as _json
+
+    def guid_rows(log_dir):
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            return [r["Image Guidance"] for r in map(_json.loads, f) if "Image Guidance" in r]
 
     model, variables = tiny_model()
     cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "cur_a"), log_dir=str(tmp_path / "clog_a"), **base)
@@ -171,31 +181,23 @@ def test_curriculum_midpass_resume_exact(corpus, tmp_path):  # noqa: F811
     assert os.path.basename(ret) == "checkpoint_0_step_2"
 
     model, variables = tiny_model()
-    # debug=False enables the JSONL metrics sink so the resume-time loader
-    # bookkeeping below is observable (no wandb in CI; the sink degrades to
-    # metrics.jsonl only).
     cfg_b2 = make_cfg(
-        corpus, tmp_path, save=str(tmp_path / "cur_b"), log_dir=str(tmp_path / "clog_b2"),
-        debug=False, **base,
+        corpus, tmp_path, save=str(tmp_path / "cur_b"), log_dir=str(tmp_path / "clog_b"), **base
     )
     flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
 
-    # The epoch-0 loader built before the resume block is discarded (the
-    # restored cursor rebuilds the guidance-100 loader), so it must NOT leave
-    # a pre-resume "Image Guidance" row in the metrics stream: the first row
-    # belongs to the rebuilt loader.
-    import json as _json
-
-    with open(os.path.join(cfg_b2.log_dir, "metrics.jsonl")) as f:
-        guid_rows = [r for r in map(_json.loads, f) if "Image Guidance" in r]
-    assert guid_rows and guid_rows[0]["Image Guidance"] == 100, guid_rows[:2]
+    # The shared metrics stream matches the uninterrupted run's guidance
+    # rows exactly: the interrupted run logged [2, 100]; the resume rebuilds
+    # the guidance-100 loader WITHOUT re-logging (log_row=False — a
+    # duplicate row would diverge from the uninterrupted stream).
+    assert guid_rows(cfg_b.log_dir) == guid_rows(cfg_a.log_dir) == [2, 100]
 
     _assert_trees_equal(
         _raw_params(os.path.join(cfg_a.save, "checkpoint_0")),
         _raw_params(os.path.join(cfg_b.save, "checkpoint_0")),
     )
     stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
-    stats_b = pd.read_csv(os.path.join(cfg_b2.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b.log_dir, "stats.tsv"), sep="\t")
     pd.testing.assert_frame_equal(stats_a, stats_b)
 
 
@@ -305,17 +307,102 @@ def test_curriculum_epoch_restart_midpass_resume(corpus, tmp_path):  # noqa: F81
 
 
 def test_step_checkpoints_reject_streaming_backends(corpus, tmp_path):  # noqa: F811
+    """tf.data's shuffle buffer cannot replay 'the rest of pass p' exactly;
+    grain (batch-granular replay) and threads/native (free skip) can."""
     model, variables = tiny_model()
-    cfg = make_cfg(corpus, tmp_path, save_every_n_steps=2, data_backend="grain")
-    with pytest.raises(ValueError, match="threads/native"):
+    cfg = make_cfg(corpus, tmp_path, save_every_n_steps=2, data_backend="tfdata")
+    with pytest.raises(ValueError, match="threads/native/grain"):
         flyp_train(cfg, model=model, variables=variables)
 
 
-def test_step_checkpoints_reject_progress(corpus, tmp_path):  # noqa: F811
+def test_grain_midepoch_resume_exact(corpus, tmp_path):  # noqa: F811
+    """The Grain backend's set_epoch(start_batch=k) replays the consumed
+    prefix of the deterministic sampler stream, so an interrupted+resumed
+    grain run matches the uninterrupted grain run bitwise (round-4 verdict
+    item 3: step checkpoints on a second backend)."""
+    pytest.importorskip("grain")
+    base = dict(epochs=1, seed=0, data_backend="grain", workers=0)
+
     model, variables = tiny_model()
-    cfg = make_cfg(corpus, tmp_path, max_steps=2, curriculum=True, progress=True)
-    with pytest.raises(ValueError, match="progress"):
-        flyp_train(cfg, model=model, variables=variables)
+    cfg_a = make_cfg(corpus, tmp_path, save=str(tmp_path / "gr_a"), log_dir=str(tmp_path / "glog_a"), **base)
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    model, variables = tiny_model()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "gr_b"), log_dir=str(tmp_path / "glog_b"),
+        max_steps=3, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert os.path.basename(ret) == "checkpoint_0_step_2"
+
+    model, variables = tiny_model()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "gr_b"), log_dir=str(tmp_path / "glog_b"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    _assert_trees_equal(
+        _raw_params(os.path.join(cfg_a.save, "checkpoint_0")),
+        _raw_params(os.path.join(cfg_b.save, "checkpoint_0")),
+    )
+    stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b.log_dir, "stats.tsv"), sep="\t")
+    pd.testing.assert_frame_equal(stats_a, stats_b)
+
+
+def test_progress_step_checkpoint_resume_exact(corpus, tmp_path):  # noqa: F811
+    """--progress host state (last_perform, the exploration RNG stream, the
+    per-epoch MA dict) rides the checkpoint: an interrupted+resumed
+    progress-curriculum run reproduces the uninterrupted run's guidance
+    CHOICES and final checkpoints bitwise.  Round-4 verdict item 2 — the
+    reference persists only its curriculum cursor
+    (`flyp_loss.py:545-552`); without the RNG/baseline snapshot a resumed
+    run re-baselines progress and forks the exploration stream."""
+    import json
+
+    base = dict(curriculum=True, progress=True, explore=True, epochs=2, seed=0, debug=False)
+
+    def guidance_seq(log_dir):
+        seq = []
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "Image Guidance" in rec:
+                    seq.append((rec["Epoch"], rec["Image Guidance"]))
+        return seq
+
+    model, variables = tiny_model()
+    cfg_a = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "prog_a"), log_dir=str(tmp_path / "plog_a"), **base
+    )
+    flyp_train(cfg_a, model=model, variables=variables, print_every=2)
+
+    # Interrupt at epoch 1 step 0 — AFTER two progress choices (epoch-0
+    # pass end + epoch-1 entry) have consumed exploration RNG draws and
+    # updated last_perform; the third choice happens post-resume.
+    model, variables = tiny_model()
+    cfg_b = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "prog_b"), log_dir=str(tmp_path / "plog_b"),
+        max_steps=5, **base,
+    )
+    ret = flyp_train(cfg_b, model=model, variables=variables, print_every=2)
+    assert "step" in os.path.basename(ret)
+
+    model, variables = tiny_model()
+    cfg_b2 = make_cfg(
+        corpus, tmp_path, save=str(tmp_path / "prog_b"), log_dir=str(tmp_path / "plog_b"), **base
+    )
+    flyp_train(cfg_b2, model=model, variables=variables, print_every=2)
+
+    assert guidance_seq(cfg_a.log_dir) == guidance_seq(cfg_b.log_dir)
+    for epoch in (0, 1):
+        _assert_trees_equal(
+            _raw_params(os.path.join(cfg_a.save, f"checkpoint_{epoch}")),
+            _raw_params(os.path.join(cfg_b.save, f"checkpoint_{epoch}")),
+        )
+    stats_a = pd.read_csv(os.path.join(cfg_a.log_dir, "stats.tsv"), sep="\t")
+    stats_b = pd.read_csv(os.path.join(cfg_b.log_dir, "stats.tsv"), sep="\t")
+    pd.testing.assert_frame_equal(stats_a, stats_b)
 
 
 def test_profile_dir_writes_trace(corpus, tmp_path):  # noqa: F811

@@ -329,3 +329,165 @@ def test_warmup_counts_programs():
     assert srv.warmup(text_widths=(16, 32)) == 8
     srv_nohead = ClipServer(model, variables, image_buckets=(4,))
     assert srv_nohead.warmup(text_widths=(16,)) == 2
+
+
+def test_concurrent_callers_match_sequential():
+    """ClipServer's documented concurrency contract (engine.py docstring):
+    request methods are reentrant, so N threads hammering classify /
+    encode_images / encode_texts concurrently produce bitwise the same
+    results as sequential calls."""
+    import concurrent.futures as cf
+
+    from flyp_tpu.models.head import ClassificationHead
+
+    model, variables = tiny_model()
+    rng = np.random.default_rng(3)
+    head = ClassificationHead.create(
+        np.asarray(rng.standard_normal((5, model.config.embed_dim)), np.float32), normalize=True
+    )
+    srv = ClipServer(model, variables, head=head, image_buckets=(4, 8))
+
+    requests = [
+        ("classify", _images(6, seed=10)),
+        ("encode_images", _images(11, seed=11)),
+        ("classify", _images(3, seed=12)),
+        ("encode_texts", ["a photo of a cat", "a photo of a dog sitting on a mat"]),
+        ("encode_images", _images(8, seed=13)),
+        ("classify", _images(8, seed=14)),
+        ("encode_texts", ["one caption"]),
+        ("encode_images", _images(2, seed=15)),
+    ]
+
+    def run(req):
+        kind, payload = req
+        return np.asarray(getattr(srv, kind)(payload))
+
+    sequential = [run(r) for r in requests]
+    for _round in range(3):  # repeated rounds shake out scheduling orders
+        with cf.ThreadPoolExecutor(max_workers=4) as pool:
+            concurrent = list(pool.map(run, requests))
+        for s, c in zip(sequential, concurrent):
+            np.testing.assert_array_equal(s, c)
+
+
+def test_http_endpoints_match_direct_calls():
+    """The stdlib HTTP front-end (serving/http.py) answers /healthz,
+    /features, /text_features and /classify with exactly what the direct
+    ClipServer calls return; malformed bodies come back as 400 JSON, not
+    connection drops."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from flyp_tpu.models.head import ClassificationHead
+    from flyp_tpu.serving import serve_http
+
+    model, variables = tiny_model()
+    rng = np.random.default_rng(4)
+    classnames = [f"class {i}" for i in range(6)]
+    head = ClassificationHead.create(
+        np.asarray(rng.standard_normal((6, model.config.embed_dim)), np.float32), normalize=True
+    )
+    srv = ClipServer(model, variables, head=head, image_buckets=(4, 8))
+    httpd = serve_http(srv, 0, classnames=classnames)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read())
+
+        def post(path, body, ctype):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=body, headers={"Content-Type": ctype}
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        status, health = get("/healthz")
+        assert status == 200 and health["ok"] and health["num_classes"] == 6
+        assert health["buckets"] == [4, 8]
+
+        imgs = _images(5, seed=20)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        status, out = post("/classify?k=3", buf.getvalue(), "application/x-npy")
+        assert status == 200
+        probs, idx = srv.top_k(imgs, k=3)
+        np.testing.assert_allclose(np.asarray(out["probs"]), probs, rtol=1e-6)
+        assert np.asarray(out["indices"]).tolist() == idx.tolist()
+        assert out["classes"][0][0] == classnames[idx[0, 0]]
+
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        status, out = post("/features", buf.getvalue(), "application/x-npy")
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(out["features"], np.float32),
+            np.asarray(srv.encode_images(imgs), np.float32),
+            rtol=1e-6,
+        )
+
+        # JSON image payloads work for tiny/manual requests.
+        status, out_json = post(
+            "/features", json.dumps({"images": imgs[:2].tolist()}).encode(), "application/json"
+        )
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(out_json["features"], np.float32),
+            np.asarray(out["features"], np.float32)[:2],
+            rtol=1e-6,
+        )
+
+        texts = ["a photo", "a much longer caption about a photo of something"]
+        status, out = post("/text_features", json.dumps({"texts": texts}).encode(), "application/json")
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(out["features"], np.float32),
+            np.asarray(srv.encode_texts(texts), np.float32),
+            rtol=1e-6,
+        )
+
+        status, err = post("/classify", b"not an npy body", "application/x-npy")
+        assert status == 400 and "error" in err
+        status, err = post("/nope", b"", "application/json")
+        assert status == 404
+
+        # Headless server: /classify refuses with 400, features still work.
+        headless = ClipServer(model, variables, image_buckets=(4,))
+        httpd2 = serve_http(headless, 0)
+        port2 = httpd2.server_address[1]
+        t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+        t2.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port2}/classify", data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npy"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                code = e.code
+                assert "head" in json.loads(e.read())["error"]
+            assert code == 400
+        finally:
+            httpd2.shutdown()
+            httpd2.server_close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_serve_cli_batch_mode_requires_images():
+    import pytest as _pytest
+
+    from flyp_tpu.cli.serve import main as serve_main
+
+    with _pytest.raises(SystemExit, match="--images"):
+        serve_main(["--checkpoint", "/nonexistent"])

@@ -10,6 +10,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tests.test_wilds_readers import fmow_tree, iwildcam_tree  # noqa: F401
+
 
 def test_pallas_probe_gemm_int8_exact():
     """The int8 probe GEMM (tools/int8_matmul_probe._pallas_mm) must be an
@@ -138,3 +140,49 @@ def test_validate_checkpoint_argparse_errors(capsys):
         main(["--download_pretrained"])
     assert exc.value.code == 2
     assert "--download_pretrained needs --model" in capsys.readouterr().err
+
+
+def test_validate_data_tool(iwildcam_tree, tmp_path, capsys):
+    """The data-tree pre-flight (tools/validate_data.py): a good tree
+    reports OK with split sizes + decode probe; an empty root, an unknown
+    dataset name, and a tree with a deleted image all FAIL with named
+    errors (exit 1), not tracebacks."""
+    from flyp_tpu.tools.validate_data import main
+
+    rc = main(["--dataset", "IWildCamOOD", "--root", iwildcam_tree, "--batch_size", "4", "--probe", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "OK IWildCamOOD" in out
+    assert "decode probe" in out and "test samples" in out
+
+    rc = main(["--dataset", "IWildCamOOD", "--root", str(tmp_path / "empty")])
+    assert rc == 1
+    assert "FAIL" in capsys.readouterr().err
+
+    rc = main(["--dataset", "NoSuchSet", "--root", iwildcam_tree])
+    assert rc == 1
+    assert "unknown dataset" in capsys.readouterr().err
+
+    # A tree whose metadata references a file that is gone must be caught
+    # by the existence scan, not at a user's first training run.
+    import shutil
+
+    broken = tmp_path / "broken"
+    shutil.copytree(iwildcam_tree, broken)
+    victims = sorted(broken.rglob("*.jpg"))
+    assert victims
+    for v in victims:  # metadata still references every file
+        v.unlink()
+    rc = main(["--dataset", "IWildCamOOD", "--root", str(broken)])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "missing" in err
+
+
+def test_validate_data_fmow(fmow_tree, capsys):
+    from flyp_tpu.tools.validate_data import main
+
+    rc = main(["--dataset", "FMOWOOD", "--root", fmow_tree, "--batch_size", "4", "--probe", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "OK FMOWOOD" in out
