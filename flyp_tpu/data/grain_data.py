@@ -102,9 +102,15 @@ class GrainLoader:
                 shard_count=self.process_count,
                 drop_remainder=True,
             )
-        # Multihost: each JAX process reads its own slice (split_by_node
-        # semantics of `laion.py:464`).
-        return grain.sharding.ShardByJaxProcess(drop_remainder=True)
+        # Multihost: shard by the mesh-derived INPUT grid (== the JAX
+        # process grid on pure-DP meshes; coarser on TP meshes whose model
+        # axis spans processes — see multihost.input_shard_grid).
+        from flyp_tpu.parallel.multihost import input_shard_grid
+
+        rank, count = input_shard_grid()
+        return grain.sharding.ShardOptions(
+            shard_index=rank, shard_count=count, drop_remainder=True
+        )
 
     def __iter__(self):
         import grain

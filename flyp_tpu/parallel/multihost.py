@@ -25,6 +25,80 @@ def process_count() -> int:
     return jax.process_count()
 
 
+#: (rank, count) input-sharding grid pinned by configure_input_sharding().
+_INPUT_GRID: tuple[int, int] | None = None
+
+
+def _mesh_batch_grid(mesh: Mesh) -> tuple[int, int]:
+    """Derive the INPUT-sharding grid from which batch shards each
+    process's devices actually hold.
+
+    Dividing the batch by ``jax.process_count()`` is only right when the
+    batch-sharded mesh axes span the processes.  On a TP mesh
+    ``(model=2, data=4)`` over 2 processes x 4 devices, the MODEL axis is
+    what crosses the process boundary: every process's devices cover ALL
+    data-axis shards, so every process must supply the FULL global batch
+    (identical rows — guaranteed by the seeded loader order), or the two
+    model shards silently train on different data halves (caught by
+    test_multiprocess.py::test_tensor_parallel_two_process the first time
+    the TP contract ran for real).
+
+    Processes whose devices hold the same batch-shard set form one input
+    group; groups are ranked by their first shard so group r supplies the
+    rows ``make_array_from_process_local_data`` lays onto its devices.
+    """
+    axes = batch_axes(mesh)
+    arr = np.asarray(mesh.devices)
+    names = list(mesh.axis_names)
+    batch_dims = [names.index(a) for a in axes]
+    other_dims = [i for i in range(arr.ndim) if i not in batch_dims]
+    blocks = arr.transpose(batch_dims + other_dims).reshape(
+        int(np.prod([arr.shape[d] for d in batch_dims])), -1
+    )
+    held: Dict[int, set] = {}
+    for b in range(blocks.shape[0]):
+        for dev in blocks[b]:
+            held.setdefault(dev.process_index, set()).add(b)
+    groups: Dict[frozenset, list] = {}
+    for p, bs in held.items():
+        groups.setdefault(frozenset(bs), []).append(p)
+    ranked = sorted(groups, key=min)
+    n, k = blocks.shape[0], blocks.shape[0] // len(ranked)
+    for r, sig in enumerate(ranked):
+        if sig != frozenset(range(r * k, (r + 1) * k)):
+            raise ValueError(
+                f"mesh device layout assigns non-contiguous batch shards "
+                f"{sorted(sig)} of {n} to one process group; input sharding "
+                "cannot reconstruct the global batch from per-process slices"
+            )
+    me = jax.process_index()
+    (rank,) = [r for r, sig in enumerate(ranked) if me in groups[sig]]
+    return rank, len(ranked)
+
+
+def configure_input_sharding(mesh: Mesh) -> tuple[int, int]:
+    """Pin the input-sharding grid for ``mesh``; call after building the
+    trainer's mesh and before building sharded train loaders.  Returns the
+    (rank, count) grid.  Single-process runs do NOT pin (the live-grid
+    fallthrough is already correct, and leaving no module state keeps
+    simulated ``process_count`` overrides in tests honest)."""
+    global _INPUT_GRID
+    _INPUT_GRID = None if jax.process_count() == 1 else _mesh_batch_grid(mesh)
+    return _INPUT_GRID if _INPUT_GRID is not None else (0, 1)
+
+
+def input_shard_grid() -> tuple[int, int]:
+    """The active (rank, count) grid for input sharding: the mesh-derived
+    grid when a trainer pinned one, else the raw JAX process grid (correct
+    for pure-DP meshes, where batch shards and processes coincide)."""
+    if _INPUT_GRID is not None:
+        return _INPUT_GRID
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:  # pragma: no cover - jax runtime always initialized here
+        return 0, 1
+
+
 def resolve_process(
     index: int | None = None, count: int | None = None, shard_by_process: bool = True
 ) -> tuple[int, int]:
@@ -44,10 +118,7 @@ def resolve_process(
         return index or 0, count
     if index is not None:
         raise ValueError("process_index requires an explicit process_count")
-    try:
-        return jax.process_index(), jax.process_count()
-    except Exception:  # pragma: no cover - jax runtime always initialized here
-        return 0, 1
+    return input_shard_grid()
 
 
 def process_index() -> int:
@@ -74,14 +145,17 @@ def local_batch_size(global_batch_size: int) -> int:
 
     ``cfg.batch_size`` keeps the reference's meaning — the GLOBAL batch the
     loss sees (`/root/reference/src/models/flyp_loss.py:495-500` on one
-    node) — so each host's loader must yield ``global/process_count`` rows
-    for ``global_batch_from_local`` to assemble into exactly that global
-    batch."""
-    count = process_count()
+    node) — so each host's loader must yield ``global/count`` rows for
+    ``global_batch_from_local`` to assemble into exactly that global
+    batch, where ``count`` is the INPUT grid (mesh-derived: on TP meshes
+    whose model axis spans processes, count < process_count and each
+    process loads a bigger — possibly full — slice)."""
+    _, count = input_shard_grid()
     if global_batch_size % count:
         raise ValueError(
             f"global batch_size {global_batch_size} is not divisible by "
-            f"process_count {count}; every host must contribute an equal slice"
+            f"the input-shard count {count}; every input group must "
+            "contribute an equal slice"
         )
     return global_batch_size // count
 

@@ -120,6 +120,9 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
     primary = is_primary()
 
     mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
+    from flyp_tpu.parallel.multihost import configure_input_sharding
+
+    configure_input_sharding(mesh)  # mesh-derived input grid (see flyp.py)
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
     optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = replicate(mesh, create_train_state(variables["params"], optimizer, variables.get("batch_stats")))

@@ -274,6 +274,12 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
         cfg.batch_size,
     )
     logger.info(f"Mesh: {mesh}")
+    # Pin the input-sharding grid to THIS mesh's batch-shard->process map:
+    # on TP meshes whose model axis spans processes, every process loads
+    # the full batch (grid count < process_count) — see multihost.py.
+    from flyp_tpu.parallel.multihost import configure_input_sharding
+
+    configure_input_sharding(mesh)
 
     # cont_finetune: the prior run's checkpoint is restored via --clip_load
     # (in build_clip_model), and its per-class stats TSV drives a class
@@ -328,8 +334,9 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
 
                 if native_decode.available():
                     transform = native_decode.native_train_transform(image_size)
-            from flyp_tpu.parallel.multihost import local_batch_size
+            from flyp_tpu.parallel.multihost import input_shard_grid, local_batch_size
 
+            grid_rank, grid_count = input_shard_grid()
             return WebDatasetLoader(
                 cfg.ft_data,
                 transform,
@@ -337,8 +344,8 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
                 num_samples=cfg.train_num_samples,
                 seed=cfg.seed,
                 num_workers=cfg.workers,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
+                process_index=grid_rank,
+                process_count=grid_count,
             )
         if backend == "tfdata" and cfg.cluster != "loss":
             from flyp_tpu.data.tfdata import get_tfdata_csv_loader

@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--out", required=True, help="per-process result JSON")
     p.add_argument("--cluster", default="")
     p.add_argument("--fsdp", action="store_true")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help=">1: tensor-parallel over the model axis (2 procs x 4 "
+                        "devices with mesh_model=2 puts each model shard on "
+                        "ONE process — TP collectives cross the process boundary)")
     p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--save_every_n_steps", type=int, default=0)
     p.add_argument("--epochs", type=int, default=1)
@@ -185,6 +189,7 @@ def main(argv=None):
         save=args.save_dir,
         cluster=args.cluster,
         fsdp=args.fsdp,
+        mesh_model=args.mesh_model,
         max_steps=args.max_steps,
         save_every_n_steps=args.save_every_n_steps,
         exp_name="multiproc",

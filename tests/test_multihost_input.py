@@ -313,3 +313,69 @@ def test_single_host_protocol_guards(monkeypatch):
         flyp_progress_validation(cfg, logger=None)
     with pytest.raises(NotImplementedError, match="single-host"):
         flyp_few_shot(cfg, logger=None)
+
+
+def test_mesh_batch_grid_layouts(monkeypatch):
+    """The input-sharding grid follows the mesh's batch-shard->process map,
+    not the raw process count: DP meshes split the batch per process, TP
+    meshes whose model axis spans processes need the FULL batch on every
+    process (two model shards fed different data halves silently corrupt
+    the loss — found by the real 2-process TP run), 2x2 layouts form two
+    input groups, and replica meshes split over (replica, data) jointly."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from flyp_tpu.parallel import multihost
+
+    def dev(p):
+        return SimpleNamespace(process_index=p)
+
+    def mesh(assign, names):
+        arr = np.empty(np.shape(assign), object)
+        for idx in np.ndindex(arr.shape):
+            arr[idx] = dev(np.asarray(assign)[idx])
+        return SimpleNamespace(devices=arr, axis_names=tuple(names))
+
+    def grid(m, me):
+        monkeypatch.setattr(jax, "process_index", lambda: me)
+        return multihost._mesh_batch_grid(m)
+
+    # DP (model=1, data=8), 2 procs x 4 devices: procs split the batch.
+    dp = mesh([[0, 0, 0, 0, 1, 1, 1, 1]], ("model", "data"))
+    assert grid(dp, 0) == (0, 2) and grid(dp, 1) == (1, 2)
+
+    # TP (model=2, data=4), model rows == processes: full batch everywhere.
+    tp = mesh([[0, 0, 0, 0], [1, 1, 1, 1]], ("model", "data"))
+    assert grid(tp, 0) == (0, 1) and grid(tp, 1) == (0, 1)
+
+    # TP x DP with 4 procs x 2 devices: procs {0,2} share batch shards 0-1,
+    # procs {1,3} share 2-3 -> two input groups.
+    tpdp = mesh([[0, 0, 1, 1], [2, 2, 3, 3]], ("model", "data"))
+    assert grid(tpdp, 0) == (0, 2) and grid(tpdp, 2) == (0, 2)
+    assert grid(tpdp, 1) == (1, 2) and grid(tpdp, 3) == (1, 2)
+
+    # Multi-slice (replica=2, model=1, data=4): batch shards over
+    # (replica, data) jointly -> replicas split the batch.
+    rep = mesh([[[0, 0, 1, 1]], [[2, 2, 3, 3]]], ("replica", "model", "data"))
+    assert grid(rep, 0) == (0, 4) and grid(rep, 3) == (3, 4)
+
+
+def test_configure_input_sharding_single_process():
+    """Single-process runs pin the trivial grid and local_batch_size keeps
+    the full batch."""
+    from jax.sharding import Mesh
+
+    import jax
+
+    from flyp_tpu.parallel import multihost
+    from flyp_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    prev = multihost._INPUT_GRID
+    try:
+        mesh = create_mesh(MeshConfig(data=4, model=2))
+        assert multihost.configure_input_sharding(mesh) == (0, 1)
+        assert multihost.input_shard_grid() == (0, 1)
+        assert multihost.local_batch_size(8) == 8
+    finally:
+        multihost._INPUT_GRID = prev

@@ -313,3 +313,29 @@ def test_fsdp_two_process_resume_bitwise(corpus, tmp_path_factory):
     full_stats = pd.read_csv(os.path.join(full_dir, "logs", "stats.tsv"), sep="\t", index_col=0)
     res_stats = pd.read_csv(os.path.join(resume_dir, "logs", "stats.tsv"), sep="\t", index_col=0)
     assert float(full_stats["Avg ID FLYP Loss"].iloc[0]) == float(res_stats["Avg ID FLYP Loss"].iloc[0])
+
+
+def test_tensor_parallel_two_process(corpus, dual_run, tmp_path_factory):
+    """TP with the model axis spanning the process boundary: mesh
+    (model=2, data=4) over 2 processes x 4 devices puts each model shard
+    entirely on one process, so every TP feature-gather crosses gloo.
+    The run must complete with the same loss trajectory as the 2-process
+    DP run (same math, different reduction tree — collective tolerance),
+    and its checkpoint must reassemble full-shape params through the
+    collective _global_host_state fetch."""
+    run_dir = str(tmp_path_factory.mktemp("mp_tp"))
+    _launch(
+        corpus, run_dir, num_processes=2,
+        extra=["--mesh_model", "2", "--no_eval", "--save_dir", os.path.join(run_dir, "ckpt")],
+    )
+    tp_losses = _step_losses(run_dir)
+    _, dual_dir = dual_run
+    np.testing.assert_allclose(tp_losses, _step_losses(dual_dir), rtol=1e-4)
+
+    import jax
+
+    tree = _checkpoint_tree(os.path.join(run_dir, "ckpt", "checkpoint_0"))
+    dp = _checkpoint_tree(os.path.join(dual_dir, "ckpt", "checkpoint_0"))
+    shapes_tp = [np.asarray(x).shape for x in jax.tree_util.tree_leaves(tree["params"])]
+    shapes_dp = [np.asarray(x).shape for x in jax.tree_util.tree_leaves(dp["params"])]
+    assert shapes_tp == shapes_dp  # checkpoints hold FULL params, not shards
