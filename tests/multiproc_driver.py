@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--out", required=True, help="per-process result JSON")
     p.add_argument("--cluster", default="")
     p.add_argument("--fsdp", action="store_true")
+    p.add_argument("--mesh_replica", type=int, default=1,
+                   help=">1: multi-slice outer DP (each process = one slice with "
+                        "mesh_replica == num_processes; the gradient all-reduce "
+                        "crosses the process boundary like DCN would)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help=">1: tensor-parallel over the model axis (2 procs x 4 "
                         "devices with mesh_model=2 puts each model shard on "
@@ -190,6 +194,7 @@ def main(argv=None):
         cluster=args.cluster,
         fsdp=args.fsdp,
         mesh_model=args.mesh_model,
+        mesh_replica=args.mesh_replica,
         max_steps=args.max_steps,
         save_every_n_steps=args.save_every_n_steps,
         exp_name="multiproc",

@@ -185,9 +185,10 @@ def dual_run(corpus, tmp_path_factory):
 def test_global_batch_stream_is_process_layout_invariant(corpus, tmp_path_factory):
     """sha256 of every assembled global batch's bytes — images, width-synced
     tokens, img_ids, fetched through the collective _global_host_state —
-    matches between a 1-process and a real 2-process assembly."""
+    matches across 1-process, 2-process, and 4-process assemblies (8
+    devices split 1x8 / 2x4 / 4x2)."""
     hashes = {}
-    for n in (1, 2):
+    for n in (1, 2, 4):
         run_dir = str(tmp_path_factory.mktemp(f"mp_batches{n}"))
         results, _ = _launch(corpus, run_dir, num_processes=n, extra=["--mode", "batches"])
         assert all(r["jax_process_count"] == n for r in results)
@@ -197,7 +198,7 @@ def test_global_batch_stream_is_process_layout_invariant(corpus, tmp_path_factor
         assert all(h == per_proc[0] for h in per_proc)
         hashes[n] = per_proc[0]
     assert len(hashes[1]) == 4
-    assert hashes[1] == hashes[2]
+    assert hashes[1] == hashes[2] == hashes[4]
 
 
 def test_two_process_run_is_real(dual_run):
@@ -339,3 +340,21 @@ def test_tensor_parallel_two_process(corpus, dual_run, tmp_path_factory):
     shapes_tp = [np.asarray(x).shape for x in jax.tree_util.tree_leaves(tree["params"])]
     shapes_dp = [np.asarray(x).shape for x in jax.tree_util.tree_leaves(dp["params"])]
     assert shapes_tp == shapes_dp  # checkpoints hold FULL params, not shards
+
+
+def test_multislice_two_process(corpus, dual_run, tmp_path_factory):
+    """Multi-slice outer DP across real processes: mesh (replica=2,
+    model=1, data=4) with each process owning one replica — the gradient
+    all-reduce rides the cross-process link exactly like DCN on a real
+    multi-slice deployment.  The batch shards over (replica, data)
+    jointly, which on this device order equals the flat data=8 layout, so
+    the loss trajectory must match the 2-process DP run to collective
+    tolerance."""
+    run_dir = str(tmp_path_factory.mktemp("mp_slice"))
+    _launch(
+        corpus, run_dir, num_processes=2,
+        extra=["--mesh_replica", "2", "--no_eval", "--save_dir", os.path.join(run_dir, "ckpt")],
+    )
+    _, dual_dir = dual_run
+    np.testing.assert_allclose(_step_losses(run_dir), _step_losses(dual_dir), rtol=1e-5)
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "checkpoint_0"))
