@@ -108,7 +108,19 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
     # cfg.batch_size is the GLOBAL batch: each process's train loader yields
     # its slice (the loader shards rows by process), assembled below via
     # global_batch_from_local — the same contract as the FLYP trainer.
-    from flyp_tpu.parallel.multihost import global_batch_from_local, is_primary, local_batch_size
+    from flyp_tpu.parallel.multihost import (
+        configure_input_sharding,
+        global_batch_from_local,
+        is_primary,
+        local_batch_size,
+    )
+
+    # Mesh first: local_batch_size and the loader's process sharding read
+    # the mesh-derived input grid configure_input_sharding pins (on TP
+    # meshes whose model axis spans processes, every process loads the
+    # full batch — see flyp.py / multihost.py).
+    mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
+    configure_input_sharding(mesh)
 
     local_bs = local_batch_size(cfg.batch_size)
     dataset = get_dataset_class(cfg.train_dataset)(
@@ -119,10 +131,6 @@ def ce_ablation(cfg, logger, model=None, variables=None, print_every: int = 100)
     num_batches = len(train_loader)
     primary = is_primary()
 
-    mesh = create_mesh_for_batch(MeshConfig(cfg.mesh_data, cfg.mesh_model), cfg.batch_size)
-    from flyp_tpu.parallel.multihost import configure_input_sharding
-
-    configure_input_sharding(mesh)  # mesh-derived input grid (see flyp.py)
     schedule = make_scheduler(cfg.scheduler, cfg.lr, cfg.warmup_length, cfg.epochs, num_batches, cfg.min_lr)
     optimizer = make_optimizer(schedule, cfg.wd, cfg.adam_moment_dtype)
     state = replicate(mesh, create_train_state(variables["params"], optimizer, variables.get("batch_stats")))

@@ -67,6 +67,9 @@ def parse_args(argv=None):
     p.add_argument("--save_every_n_steps", type=int, default=0)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--no_eval", action="store_true", help="skip the per-epoch eval suite")
+    p.add_argument("--trainer", choices=["flyp", "ce"], default="flyp",
+                   help="ce: drive the CE-ablation trainer (its collective "
+                        "orbax save + VisionDataset global-batch assembly)")
     p.add_argument(
         "--mode",
         choices=["train", "batches"],
@@ -201,7 +204,16 @@ def main(argv=None):
     )
 
     model, variables = tiny_model()
-    model_path = flyp_train(cfg, model=model, variables=variables, print_every=1)
+    if args.trainer == "ce":
+        from flyp_tpu.training.ce_ablation import ce_ablation
+        from flyp_tpu.utils.logging import get_logger
+
+        cfg.train_dataset = "PatchCamelyonTrain"
+        model_path = ce_ablation(
+            cfg, get_logger(args.log_dir), model=model, variables=variables, print_every=1
+        )
+    else:
+        model_path = flyp_train(cfg, model=model, variables=variables, print_every=1)
 
     result = {
         "process_id": args.process_id,

@@ -130,15 +130,15 @@ def _launch(corpus, run_dir, num_processes, extra=()):
     return [json.load(open(o)) for o in outs], run_dir
 
 
-def _step_losses(run_dir):
-    """Per-step 'ID FLYP Loss' floats from the primary's metrics.jsonl."""
+def _step_losses(run_dir, key="ID FLYP Loss"):
+    """Per-step loss floats from the primary's metrics.jsonl."""
     path = os.path.join(run_dir, "logs", "metrics.jsonl")
     losses = []
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
-            if "ID FLYP Loss" in rec:
-                losses.append(rec["ID FLYP Loss"])
+            if key in rec:
+                losses.append(rec[key])
     return losses
 
 
@@ -358,3 +358,24 @@ def test_multislice_two_process(corpus, dual_run, tmp_path_factory):
     _, dual_dir = dual_run
     np.testing.assert_allclose(_step_losses(run_dir), _step_losses(dual_dir), rtol=1e-5)
     assert os.path.isdir(os.path.join(run_dir, "ckpt", "checkpoint_0"))
+
+
+def test_ce_ablation_two_process(corpus, tmp_path_factory):
+    """The CE-ablation trainer across real processes: its collective orbax
+    save (the same primary-only-deadlock class fixed in flyp) and the
+    VisionDataset loader's per-process slices must produce the
+    single-process loss trajectory.  Batch SETS match across layouts (the
+    image-folder loader keeps drop_last=False element striding), so the
+    per-step mean CE agrees to reduction tolerance rather than bitwise."""
+    runs = {}
+    for n in (1, 2):
+        run_dir = str(tmp_path_factory.mktemp(f"mp_ce{n}"))
+        _launch(
+            corpus, run_dir, num_processes=n,
+            extra=["--trainer", "ce", "--no_eval", "--save_dir", os.path.join(run_dir, "ckpt")],
+        )
+        losses = _step_losses(run_dir, key="ID CE Loss")
+        assert losses and all(np.isfinite(losses))
+        assert os.path.isdir(os.path.join(run_dir, "ckpt", "checkpoint_0"))
+        runs[n] = losses
+    np.testing.assert_allclose(runs[1], runs[2], rtol=1e-5)
