@@ -203,3 +203,50 @@ def test_async_checkpoint_save_restore(tmp_path):
     restored, cursor = ckpt.restore_checkpoint(path, template)
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), params["w"])
     assert cursor.epoch == 3
+
+
+def test_checkpoint_host_state_roundtrip_and_backcompat(tmp_path):
+    """The host_state leaf (progress baselines, PCG64 exploration stream,
+    loss pairs, MA dicts) JSON-round-trips exactly — including the 128-bit
+    bit-generator ints — and a checkpoint saved WITHOUT it (round-4
+    layout) restores with host=True returning None instead of raising."""
+    import optax
+
+    from flyp_tpu.training.train_state import create_train_state
+    from flyp_tpu.utils import checkpoint as ckpt
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    state = create_train_state(params, optax.sgd(1e-2))
+    template = create_train_state(jax.tree_util.tree_map(np.zeros_like, params), optax.sgd(1e-2))
+
+    rng = np.random.default_rng(7)
+    rng.uniform()  # advance the stream so the state is mid-sequence
+    blob = {
+        "last_perform": {"Strength 2 Accuracy": np.float64(0.75), "Guidance 100 F1": 0.5},
+        "explore_rng": rng.bit_generator.state,
+        "loss_pairs": [[3, 0.25], [7, 1.5]],
+        "progress_ma": {"2": [0.1, 0.2], "100": [0.3]},
+    }
+    path = str(tmp_path / "host_ckpt")
+    ckpt.save_checkpoint(path, state, host=blob)
+    _, _, restored = ckpt.restore_checkpoint(path, template, host=True)
+    assert restored["last_perform"] == {"Strength 2 Accuracy": 0.75, "Guidance 100 F1": 0.5}
+    assert restored["loss_pairs"] == [[3, 0.25], [7, 1.5]]
+    assert restored["progress_ma"] == {"2": [0.1, 0.2], "100": [0.3]}
+    # The restored RNG continues the exact stream the saved one would.
+    r2 = np.random.default_rng()
+    r2.bit_generator.state = restored["explore_rng"]
+    expect = np.random.default_rng(7)
+    expect.uniform()
+    assert r2.uniform() == expect.uniform()
+
+    # Round-4 layout (no host leaf): host=True degrades to None.
+    legacy = str(tmp_path / "legacy_ckpt")
+    ckpt.save_checkpoint(legacy, state)
+    _, _, none_blob = ckpt.restore_checkpoint(legacy, template, host=True)
+    assert none_blob is None
+    # And mid+host ordering: (state, cursor, step_cursor, host).
+    midp = str(tmp_path / "mid_ckpt")
+    ckpt.save_checkpoint(midp, state, mid=ckpt.StepCursor(step_in_epoch=5), host=blob)
+    _, _, sc, hb = ckpt.restore_checkpoint(midp, template, mid=True, host=True)
+    assert sc.step_in_epoch == 5 and hb["loss_pairs"] == [[3, 0.25], [7, 1.5]]
