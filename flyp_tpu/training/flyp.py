@@ -30,7 +30,7 @@ from flyp_tpu.evaluation.classifier import Classifier
 from flyp_tpu.evaluation.evaluator import evaluate
 from flyp_tpu.evaluation.zeroshot import get_zeroshot_classifier
 from flyp_tpu.models.factory import build_clip_model
-from flyp_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh_for_batch, replicate
+from flyp_tpu.parallel.mesh import MeshConfig, create_mesh_for_batch, replicate
 from flyp_tpu.templates import get_template
 from flyp_tpu.training.curriculum import (
     choose_guidance_by_progress,
@@ -444,7 +444,6 @@ def flyp_train(cfg, logger=None, model=None, variables=None, print_every: int = 
     else:
         state = replicate(mesh, state)
         step_fn = build_step(optimizer)
-    batch_shard = batch_sharding(mesh)
 
     explore_rng = np.random.default_rng(cfg.seed)
     stats = []
