@@ -379,3 +379,39 @@ def test_configure_input_sharding_single_process():
         assert multihost.local_batch_size(8) == 8
     finally:
         multihost._INPUT_GRID = prev
+
+
+def test_resolve_process_and_batch_size_use_pinned_grid(monkeypatch):
+    """Once a trainer pins the mesh-derived input grid, the lazy loader
+    resolution and the batch slicing both read it — explicit overrides and
+    the shard_by_process=False opt-out still win."""
+    from flyp_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "_INPUT_GRID", (1, 2))
+    assert multihost.resolve_process(None, None) == (1, 2)
+    assert multihost.input_shard_grid() == (1, 2)
+    assert multihost.local_batch_size(8) == 4
+    assert multihost.resolve_process(3, 4) == (3, 4)  # explicit override wins
+    assert multihost.resolve_process(None, None, shard_by_process=False) == (0, 1)
+
+
+def test_grain_start_batch_fast_forward(corpus):
+    """GrainLoader.set_epoch(start_batch=k): the replayed stream equals the
+    uninterrupted stream's suffix exactly (images, tokens, ids)."""
+    pytest.importorskip("grain")
+
+    from flyp_tpu.data.grain_data import GrainLoader
+
+    def batches(start):
+        loader = GrainLoader(
+            _dataset(corpus), batch_size=4, shuffle=True, drop_last=True,
+            num_workers=0, seed=3,
+        )
+        loader.set_epoch(2, start_batch=start)
+        return list(loader)
+
+    full, tail = batches(0), batches(2)
+    assert len(full) == len(tail) + 2
+    for a, b in zip(full[2:], tail):
+        for key in ("image", "tokens", "img_id"):
+            np.testing.assert_array_equal(a[key], b[key])
