@@ -186,3 +186,23 @@ def test_validate_data_fmow(fmow_tree, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "OK FMOWOOD" in out
+
+
+def test_validate_data_objectnet(tmp_path, capsys):
+    """Third family through the generic validator path: ObjectNet's
+    metadata-driven folder tree (113-class map, packaged JSONs)."""
+    from PIL import Image
+
+    from flyp_tpu.data.datasets.objectnet import get_metadata
+    from flyp_tpu.tools.validate_data import main
+
+    _, _, folder_to_ids, _ = get_metadata()
+    for f in sorted(folder_to_ids.keys())[:3]:
+        d = tmp_path / "objectnet-1.0" / "images" / f
+        d.mkdir(parents=True)
+        Image.fromarray(np.zeros((36, 36, 3), np.uint8)).save(d / "img0.png")
+
+    rc = main(["--dataset", "ObjectNet", "--root", str(tmp_path), "--probe", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "OK ObjectNet" in out and "classes:         113" in out
