@@ -99,35 +99,44 @@ def _launch(corpus, run_dir, num_processes, extra=()):
     os.makedirs(run_dir, exist_ok=True)
     port = _free_port()
     local_devices = 8 // num_processes
-    procs, outs, logs = [], [], []
-    for pid in range(num_processes):
-        out = os.path.join(run_dir, f"result_{pid}.json")
-        log = os.path.join(run_dir, f"driver_{pid}.log")
-        cmd = [
-            sys.executable,
-            DRIVER,
-            "--num_processes", str(num_processes),
-            "--process_id", str(pid),
-            "--coordinator", f"localhost:{port}",
-            "--local_devices", str(local_devices),
-            "--train_csv", corpus["train_csv"],
-            "--data_root", corpus["root"],
-            "--log_dir", os.path.join(run_dir, "logs"),
-            "--out", out,
-            *extra,
-        ]
-        logf = open(log, "w")
-        procs.append(
-            subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT, cwd=REPO)
-        )
-        outs.append(out)
-        logs.append(log)
-    rcs = [p.wait(timeout=900) for p in procs]
+    procs, outs, logs, logfs = [], [], [], []
+    try:
+        for pid in range(num_processes):
+            out = os.path.join(run_dir, f"result_{pid}.json")
+            log = os.path.join(run_dir, f"driver_{pid}.log")
+            cmd = [
+                sys.executable,
+                DRIVER,
+                "--num_processes", str(num_processes),
+                "--process_id", str(pid),
+                "--coordinator", f"localhost:{port}",
+                "--local_devices", str(local_devices),
+                "--train_csv", corpus["train_csv"],
+                "--data_root", corpus["root"],
+                "--log_dir", os.path.join(run_dir, "logs"),
+                "--out", out,
+                *extra,
+            ]
+            logfs.append(open(log, "w"))
+            procs.append(
+                subprocess.Popen(cmd, stdout=logfs[-1], stderr=subprocess.STDOUT, cwd=REPO)
+            )
+            outs.append(out)
+            logs.append(log)
+        rcs = [p.wait(timeout=900) for p in procs]
+    finally:
+        for f in logfs:
+            f.close()
     for pid, rc in enumerate(rcs):
         if rc != 0:
-            tail = open(logs[pid]).read()[-4000:]
+            with open(logs[pid]) as f:
+                tail = f.read()[-4000:]
             raise AssertionError(f"driver process {pid} exited {rc}:\n{tail}")
-    return [json.load(open(o)) for o in outs], run_dir
+    results = []
+    for o in outs:
+        with open(o) as f:
+            results.append(json.load(f))
+    return results, run_dir
 
 
 def _step_losses(run_dir, key="ID FLYP Loss"):
